@@ -1,0 +1,169 @@
+"""MRFP / MRFP+ / plain DeepLabV3+ — the paper's model family.
+
+Faithful re-design of deepv3.py:152-367 (MRFPPlus) and :370-489
+(simpleDeepV3Plus). The three stochastic gates (p, p2, p3 — drawn host-side
+per batch in the reference, deepv3.py:281-283) arrive as traced booleans in
+``PerturbArgs`` so one compiled program covers all 8 gate combinations; the
+decoder-resolution switch (p3 changes the final2 input resolution,
+deepv3.py:355-360) is a ``nn.cond`` so only one branch executes per step.
+
+Eval (train=False) skips the perturbation machinery at the Python level —
+the compiled eval graph is *exactly* the plain DeepLabV3+ forward the
+reference runs with training=False (it computes-then-discards the OC branch,
+main-path parity is unaffected; we simply don't burn the FLOPs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from mrfp_tpu.nn.deeplab import ASPP, DSNHead, DeepLabDecoder
+from mrfp_tpu.nn.layers import conv2d, kaiming_fan_in
+from mrfp_tpu.nn.resnet import (
+    ResNet,
+    resnet18,
+    resnet34,
+    resnet50,
+    resnet101,
+    resnet152,
+    resnext50_32x4d,
+    resnext101_32x8d,
+    variant_output_stride,
+    wide_resnet50_2,
+    wide_resnet101_2,
+)
+from mrfp_tpu.ops.resize import resize_bilinear_align_corners
+from mrfp_tpu.perturb.np_plus import normalization_perturbation_plus
+from mrfp_tpu.perturb.oc_branch import OCParams, oc_apply
+
+_RESNET_BUILDERS = {
+    "resnet-18": resnet18,
+    "resnet-34": resnet34,
+    "resnet-50": resnet50,
+    "resnet-101": resnet101,
+    "resnet-152": resnet152,
+    "resnext-50": resnext50_32x4d,
+    "resnext-101": resnext101_32x8d,
+    "wide_resnet-50": wide_resnet50_2,
+    "wide_resnet-101": wide_resnet101_2,
+}
+
+
+@flax.struct.dataclass
+class PerturbArgs:
+    """Per-step stochastic inputs for the MRFP forward (all traced)."""
+
+    gate_oc: jax.Array      # bool: p < 0.5  — OC stem injection
+    gate_np: jax.Array      # bool: p2 < 0.5 — NP+ after layer0 and layer1
+    gate_dec: jax.Array     # bool: p3 < 0.5 — OC decoder injection (MRFP+)
+    key_np0: jax.Array
+    key_np1: jax.Array
+    oc_params: OCParams
+
+
+class MRFP(nn.Module):
+    """DeepLabV3+ with multi-resolution feature perturbation.
+
+    With ``perturb=None`` (or train=False) this IS simpleDeepV3Plus — the
+    no-perturbation baseline shares every trainable parameter and the eval
+    graph with MRFP+ (as in the reference, where the OC branch is frozen and
+    external to the checkpointed behavior at eval).
+    """
+
+    num_classes: int = 19
+    trunk: str = "resnet-50"
+    variant: str = "D16"
+    wt_layer: Tuple[int, ...] = (0, 0, 4, 4, 4, 0, 0)
+    hrfp_plus: bool = True           # allow p3 decoder injection
+    use_dsn: bool = False
+    np_std: float = 0.75
+    np_scale: float = 1.5
+    oc_scales_enc: Tuple[float, ...] = (1.205, 1.2, 1.2)
+    oc_scales_dec: Tuple[float, ...] = (0.838, 0.798)
+    dtype: Optional[Any] = None      # compute dtype for convs (bf16 on TPU)
+
+    def setup(self):
+        if self.trunk not in _RESNET_BUILDERS:
+            raise ValueError(f"unsupported trunk {self.trunk!r} for MRFP "
+                             f"(zoo trunks live in models.deepv3_zoo)")
+        self.backbone = _RESNET_BUILDERS[self.trunk](
+            wt_layer=self.wt_layer, variant=self.variant, dtype=self.dtype,
+            name="backbone")
+        os = variant_output_stride(self.variant)
+        self.aspp = ASPP(256, output_stride=os, dtype=self.dtype, name="aspp")
+        self.decoder = DeepLabDecoder(dtype=self.dtype, name="decoder")
+        self.final2 = conv2d(self.num_classes, 1, bias=True,
+                             kernel_init=kaiming_fan_in, dtype=self.dtype,
+                             name="final2")
+        if self.use_dsn:
+            self.dsn = DSNHead(self.num_classes, dtype=self.dtype, name="dsn")
+
+    def __call__(self, x, train: bool = False,
+                 perturb: Optional[PerturbArgs] = None) -> Dict[str, Any]:
+        h, w = x.shape[1], x.shape[2]
+        w_arr: list = []
+        perturbing = train and perturb is not None
+
+        # --- layer0 / stem (deepv3.py:309-316) ---
+        xp = self.backbone.stem(x, w_arr, train)
+
+        if perturbing:
+            # NP+ reads the *unperturbed* stem features xp (deepv3.py:317-318)
+            x_np = normalization_perturbation_plus(
+                perturb.key_np0, xp, self.np_std, self.np_scale)
+            feat = jnp.where(perturb.gate_np, x_np, xp)
+            # OC branch also reads xp (deepv3.py:320)
+            ocout, oc_dec = oc_apply(
+                perturb.oc_params, xp, (h, w),
+                self.oc_scales_enc, self.oc_scales_dec,
+                dtype=self.dtype or jnp.float32)
+            feat = jnp.where(perturb.gate_oc, ocout + feat, feat)
+        else:
+            feat = xp
+
+        # --- backbone stages (deepv3.py:332-342) ---
+        feat = self.backbone.stage(0, feat, w_arr, train)
+        if perturbing:
+            feat_np = normalization_perturbation_plus(
+                perturb.key_np1, feat, self.np_std, self.np_scale)
+            feat = jnp.where(perturb.gate_np, feat_np, feat)
+        low_level = feat
+        feat = self.backbone.stage(1, feat, w_arr, train)
+        feat = self.backbone.stage(2, feat, w_arr, train)
+        aux_in = feat
+        feat = self.backbone.stage(3, feat, w_arr, train)
+
+        # --- heads (deepv3.py:347-354) ---
+        feat = self.aspp(feat, train)
+        dec1 = self.decoder(feat, low_level, train)
+
+        # --- final classifier, p3-gated resolution switch (deepv3.py:355-361) ---
+        if perturbing and self.hrfp_plus:
+            half = (int(h / 2), int(w / 2))
+            oc_dec_c = oc_dec  # close over; same shape in both... only used in true branch
+
+            def _with_dec(mdl, d):
+                d = resize_bilinear_align_corners(d, half)
+                d = d + oc_dec_c
+                d = mdl.final2(d)
+                return resize_bilinear_align_corners(d, (h, w))
+
+            def _no_dec(mdl, d):
+                d = mdl.final2(d)
+                return resize_bilinear_align_corners(d, (h, w))
+
+            main_out = nn.cond(perturb.gate_dec, _with_dec, _no_dec, self, dec1)
+        else:
+            main_out = resize_bilinear_align_corners(self.final2(dec1), (h, w))
+
+        out: Dict[str, Any] = {"logits": main_out.astype(jnp.float32)}
+        if w_arr:
+            out["w_arr"] = w_arr
+        if self.use_dsn:
+            out["dsn"] = self.dsn(aux_in, train).astype(jnp.float32)
+        return out

@@ -1,0 +1,103 @@
+"""Spatial resize ops with exact PyTorch semantics, NHWC layout.
+
+The reference relies on two distinct interpolation behaviors that must be
+reproduced bit-for-bit for checkpoint parity (SURVEY.md §7 hard parts):
+
+1. ``Upsample`` (network/mynn.py:114-119): ``F.interpolate(mode='bilinear',
+   align_corners=True)`` — source coord ``dst * (in-1)/(out-1)``.
+2. The OC branch (deepv3.py:320-327) calls ``F.interpolate`` with NO mode, so
+   it is **nearest**. With ``scale_factor=s``: ``out = floor(in*s)`` and
+   ``src = floor(dst/s)`` (torch>=1.5, recompute_scale_factor=None). With
+   ``size=``: ``src = floor(dst*in/out)``. Verified empirically vs torch CPU.
+
+All index arithmetic happens at trace time in float64 numpy (shapes are
+static under jit), so the gathers are against constant index vectors — XLA
+lowers them to cheap dynamic-slice/gather with no on-device index math. The
+two taps of the separable bilinear become two gathers + a VPU lerp, which XLA
+fuses with surrounding elementwise work.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def nearest_out_size(in_hw: Tuple[int, int], scale: Tuple[float, float]) -> Tuple[int, int]:
+    """Output size for torch F.interpolate(scale_factor=...): floor(in*s)."""
+    return (int(np.floor(in_hw[0] * scale[0])), int(np.floor(in_hw[1] * scale[1])))
+
+
+def _nearest_idx_from_scale(in_size: int, scale: float) -> np.ndarray:
+    out = int(np.floor(in_size * scale))
+    # torch nearest with explicit scale: src = floor(dst / scale)
+    idx = np.floor(np.arange(out, dtype=np.float64) / np.float64(scale))
+    return np.clip(idx.astype(np.int64), 0, in_size - 1)
+
+
+def _nearest_idx_from_size(in_size: int, out_size: int) -> np.ndarray:
+    # torch nearest with explicit size: src = floor(dst * in/out)
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * (in_size / out_size))
+    return np.clip(idx.astype(np.int64), 0, in_size - 1)
+
+
+def resize_nearest(x: jnp.ndarray,
+                   size: Optional[Tuple[int, int]] = None,
+                   scale: Optional[Tuple[float, float]] = None) -> jnp.ndarray:
+    """Nearest resize of NHWC ``x`` matching torch F.interpolate defaults.
+
+    Exactly one of ``size`` / ``scale`` must be given; the source-index rule
+    differs between the two (see module docstring).
+    """
+    if (size is None) == (scale is None):
+        raise ValueError("pass exactly one of size= or scale=")
+    h, w = x.shape[1], x.shape[2]
+    if scale is not None:
+        iy = _nearest_idx_from_scale(h, scale[0])
+        ix = _nearest_idx_from_scale(w, scale[1])
+    else:
+        if (h, w) == tuple(size):
+            return x
+        iy = _nearest_idx_from_size(h, size[0])
+        ix = _nearest_idx_from_size(w, size[1])
+    x = jnp.take(x, jnp.asarray(iy), axis=1)
+    x = jnp.take(x, jnp.asarray(ix), axis=2)
+    return x
+
+
+def _bilinear_ac_weights(in_size: int, out_size: int):
+    """(idx0, idx1, frac) for align_corners=True bilinear along one axis."""
+    if out_size == 1:
+        src = np.zeros(1, dtype=np.float64)
+    else:
+        src = np.arange(out_size, dtype=np.float64) * ((in_size - 1) / (out_size - 1))
+    idx0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    idx1 = np.minimum(idx0 + 1, in_size - 1)
+    frac = (src - idx0).astype(np.float32)
+    return idx0, idx1, frac
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear align_corners=True resize of NHWC ``x`` (mynn.py Upsample).
+
+    Separable two-tap lerp along H then W. The lerp runs in the input dtype
+    (bf16-safe: weights are exact fp32 constants, cast at the multiply).
+    """
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = int(size[0]), int(size[1])
+    if (h, w) == (oh, ow):
+        return x
+    dtype = x.dtype
+    if h != oh:
+        i0, i1, f = _bilinear_ac_weights(h, oh)
+        f = jnp.asarray(f, dtype)[None, :, None, None]
+        x = jnp.take(x, jnp.asarray(i0), axis=1) * (1 - f) + \
+            jnp.take(x, jnp.asarray(i1), axis=1) * f
+    if w != ow:
+        i0, i1, f = _bilinear_ac_weights(w, ow)
+        f = jnp.asarray(f, dtype)[None, None, :, None]
+        x = jnp.take(x, jnp.asarray(i0), axis=2) * (1 - f) + \
+            jnp.take(x, jnp.asarray(i1), axis=2) * f
+    return x
