@@ -2,13 +2,20 @@
 
 Multi-chip hardware is unavailable in CI; sharding/collective behavior is
 validated on the host platform with forced device count (the same mechanism
-the driver uses for the multi-chip dry run).
+the driver uses for the multi-chip dry run). A pytest plugin in this
+environment imports jax before conftest runs, so env vars alone are not
+enough — set the config explicitly.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU: the ambient environment points JAX at a TPU (JAX_PLATFORMS=axon)
+# whose default matmul precision is bf16 — parity tests need fp32 exactness.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_DEFAULT_MATMUL_PRECISION"] = "highest"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_num_cpu_devices", 8)

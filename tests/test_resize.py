@@ -1,0 +1,82 @@
+"""Parity of resize ops vs torch F.interpolate (the reference's primitives).
+
+Covers the exact call patterns the reference uses:
+- mynn.Upsample: bilinear align_corners=True with size= (mynn.py:114-119)
+- OC branch: nearest (default mode) with scale_factor= and with size=
+  (deepv3.py:320-327)
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from mrfp_tpu.ops.resize import (
+    nearest_out_size,
+    resize_bilinear_align_corners,
+    resize_nearest,
+)
+
+
+def _rand(n, h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, h, w, c)).astype(np.float32)
+
+
+def _to_torch(x_nhwc):
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def _from_torch(t):
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+# the exact scale factors used by the OC branch
+OC_SCALES = [1.205, 1.2, 0.838, 0.798]
+
+
+@pytest.mark.parametrize("scale", OC_SCALES)
+@pytest.mark.parametrize("hw", [(48, 48), (33, 57), (192, 192)])
+def test_nearest_scale_factor(scale, hw):
+    x = _rand(2, *hw, 5)
+    ours = np.asarray(resize_nearest(jnp.asarray(x), scale=(scale, scale)))
+    ref = _from_torch(F.interpolate(_to_torch(x), scale_factor=(scale, scale)))
+    assert ours.shape == ref.shape
+    np.testing.assert_array_equal(ours, ref)
+    assert ours.shape[1:3] == nearest_out_size(hw, (scale, scale))
+
+
+@pytest.mark.parametrize("hw,out", [((48, 48), (24, 24)), ((77, 41), (38, 20)),
+                                    ((30, 30), (48, 48)), ((231, 231), (384, 384))])
+def test_nearest_size(hw, out):
+    x = _rand(1, *hw, 3)
+    ours = np.asarray(resize_nearest(jnp.asarray(x), size=out))
+    ref = _from_torch(F.interpolate(_to_torch(x), size=out))
+    np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("hw,out", [((12, 12), (48, 48)), ((48, 48), (13, 29)),
+                                    ((7, 9), (100, 50)), ((1, 1), (16, 16)),
+                                    ((24, 24), (24, 24))])
+def test_bilinear_align_corners(hw, out):
+    x = _rand(2, *hw, 4)
+    ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), out))
+    ref = _from_torch(F.interpolate(_to_torch(x), size=out, mode="bilinear",
+                                    align_corners=True))
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_oc_chain_sizes_768():
+    """The full OC size chain for a 768x768 input (deepv3.py:320-327)."""
+    h = w = 768
+    s = (192, 192)  # stem output H/4
+    sizes = [s]
+    for sc in (1.205, 1.2, 1.2):
+        sizes.append(nearest_out_size(sizes[-1], (sc, sc)))
+    assert sizes[1:] == [(231, 231), (277, 277), (332, 332)]
+    # enc4 -> (h/2, w/2); dec chain
+    half = (h // 2, w // 2)
+    d1 = nearest_out_size(half, (0.838, 0.838))
+    d2 = nearest_out_size(d1, (0.798, 0.798))
+    assert half == (384, 384) and d1 == (321, 321) and d2 == (256, 256)
