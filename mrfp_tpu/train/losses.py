@@ -1,0 +1,58 @@
+"""Losses.
+
+Cross-entropy with ignore_index matching torch nn.CrossEntropyLoss
+(main.py:822: ignore_index=255, mean reduction over non-ignored pixels), and
+the ISW/IRW instance-whitening loss (network/instance_whitening.py:19-27).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  ignore_index: int = 255) -> jnp.ndarray:
+    """Mean CE over valid pixels. logits (..., C) fp32, labels (...) int.
+
+    Matches torch CrossEntropyLoss(ignore_index=...) with 'mean' reduction:
+    sum of per-pixel NLL over valid pixels / number of valid pixels.
+    """
+    labels = labels.astype(jnp.int32)
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / count
+
+
+def instance_whitening_loss(w_arr: Sequence[jnp.ndarray],
+                            mask_matrices: Optional[Sequence[jnp.ndarray]],
+                            margin: float = 0.0,
+                            num_remove_cov: Optional[Sequence[float]] = None) -> jnp.ndarray:
+    """ISW/IRW covariance penalty over collected whitening maps.
+
+    For each collected NHWC map w: per-sample covariance
+    f_cor = (f @ f^T)/(HW-1) + eps*I (instance_whitening.py:30-39), mask the
+    selected off-diagonal entries, clamp((sum|.| - margin)/num_remove, 0),
+    mean over batch; summed over maps.
+    """
+    total = jnp.asarray(0.0, jnp.float32)
+    for i, w in enumerate(w_arr):
+        n, h, wd, c = w.shape
+        f = w.astype(jnp.float32).reshape(n, h * wd, c)
+        cov = jnp.einsum("npc,npd->ncd", f, f) / (h * wd - 1)
+        cov = cov + 1e-5 * jnp.eye(c, dtype=jnp.float32)
+        if mask_matrices is not None:
+            mask = mask_matrices[i]
+        else:
+            mask = jnp.triu(jnp.ones((c, c), jnp.float32), k=1)
+        nrc = (num_remove_cov[i] if num_remove_cov is not None
+               else jnp.sum(mask))
+        off = jnp.sum(jnp.abs(cov * mask), axis=(1, 2)) - margin
+        total = total + jnp.mean(jnp.clip(off / nrc, a_min=0.0))
+    return total

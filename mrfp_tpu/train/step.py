@@ -1,0 +1,102 @@
+"""The pjit'd train / eval steps.
+
+One compiled program per (shape, config): gates are traced booleans so every
+perturbation combination shares the compilation (the reference re-randomizes
+weights host-side and relies on eager execution, deepv3.py:281-306). Gradient
+sync, SyncBN moments, and NP+'s cross-batch std all come from GSPMD: the
+batch is sharded over the mesh 'data' axis and every batch reduction lowers
+to an ICI all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mrfp_tpu.core.config import Config
+from mrfp_tpu.core.rng import step_keys
+from mrfp_tpu.models.mrfp import PerturbArgs
+from mrfp_tpu.perturb.oc_branch import oc_maybe_resample
+from mrfp_tpu.train.losses import cross_entropy
+from mrfp_tpu.train.state import TrainState, make_optimizer
+
+
+def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
+               *, model, cfg: Config) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One SGD step. images NHWC float32, labels NHW int32.
+
+    Pure function of (state, batch): the per-step RNG is folded from
+    state.base_key and state.step (core/rng.py), so the run is bitwise
+    reproducible and restartable from a checkpointed step.
+    """
+    keys = step_keys(state.base_key, state.step)
+    pc = cfg.perturb
+
+    perturb = None
+    oc_params = state.oc_params
+    if pc.enabled and oc_params is not None:
+        u = jax.random.uniform(keys["gates"], (3,))
+        gate_oc = u[0] < pc.p_oc
+        gate_np = u[1] < pc.p_np
+        gate_dec = u[2] < pc.p_dec
+        # re-randomize OC weights when the stem gate fires (deepv3.py:290-306)
+        oc_params = oc_maybe_resample(oc_params, gate_oc, keys["oc_resample"],
+                                      pc.oc_bn_std)
+        perturb = PerturbArgs(gate_oc=gate_oc, gate_np=gate_np, gate_dec=gate_dec,
+                              key_np0=keys["np_l0"], key_np1=keys["np_l1"],
+                              oc_params=oc_params)
+
+    def loss_fn(params):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            images, train=True, perturb=perturb, mutable=["batch_stats"])
+        loss = cross_entropy(out["logits"], labels, cfg.data.ignore_index)
+        return loss, (mutated["batch_stats"], out)
+
+    (loss, (new_stats, _out)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+
+    tx = make_optimizer(cfg.train)
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_stats,
+        oc_params=oc_params,
+        opt_state=new_opt_state,
+    )
+    metrics = {"loss": loss}
+    return new_state, metrics
+
+
+def eval_step(params, batch_stats, images, *, model) -> jnp.ndarray:
+    """Eval forward returning per-pixel argmax predictions (N,H,W) int32."""
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      images, train=False, mutable=False)
+    return jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
+
+
+def make_jitted_steps(model, cfg: Config, mesh: Optional[Mesh] = None):
+    """Build jitted train/eval steps with mesh shardings.
+
+    State is replicated; the batch is sharded over 'data'. State buffers are
+    donated so params update in place (no HBM spike).
+    """
+    t = functools.partial(train_step, model=model, cfg=cfg)
+    e = functools.partial(eval_step, model=model)
+    if mesh is None:
+        return jax.jit(t, donate_argnums=0), jax.jit(e)
+
+    repl = NamedSharding(mesh, P())
+    data4 = NamedSharding(mesh, P(mesh.axis_names[0], None, None, None))
+    data3 = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+    jt = jax.jit(t, in_shardings=(repl, data4, data3),
+                 out_shardings=(repl, repl), donate_argnums=0)
+    je = jax.jit(e, in_shardings=(repl, repl, data4), out_shardings=data3)
+    return jt, je

@@ -1,0 +1,117 @@
+"""End-to-end train step: multi-device DP, reproducibility, optimizer parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mrfp_tpu.core.config import Config, MeshConfig
+from mrfp_tpu.core.mesh import create_mesh, shard_batch
+from mrfp_tpu.models import MRFP
+from mrfp_tpu.perturb import oc_init
+from mrfp_tpu.train import create_train_state, make_jitted_steps, make_optimizer
+from mrfp_tpu.train.losses import cross_entropy
+
+
+def _tiny_setup(n_devices):
+    cfg = Config()
+    model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7,
+                 hrfp_plus=True)
+    state = create_train_state(model, cfg.train, (1, 32, 32, 3),
+                               oc_params=oc_init(jax.random.PRNGKey(1)))
+    rng = np.random.default_rng(0)
+    batch = 8
+    images = rng.standard_normal((batch, 32, 32, 3)).astype(np.float32)
+    labels = rng.integers(0, 19, (batch, 32, 32)).astype(np.int32)
+    labels[0, :4] = 255  # exercise ignore_index
+    mesh = create_mesh(MeshConfig(), jax.devices()[:n_devices]) if n_devices else None
+    return cfg, model, state, images, labels, mesh
+
+
+def test_train_step_runs_and_learns():
+    cfg, model, state, images, labels, mesh = _tiny_setup(8)
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    im, lb = shard_batch(mesh, (images, labels))
+    jtrain, jeval = make_jitted_steps(model, cfg, mesh)
+    losses = []
+    for _ in range(3):
+        state, metrics = jtrain(state, im, lb)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 3
+    preds = jeval(state.params, state.batch_stats, im)
+    assert preds.shape == (8, 32, 32) and preds.dtype == jnp.int32
+
+
+def test_device_count_invariance():
+    """Same batch, same seed: 1-device and 8-device runs agree (the reference's
+    per-batch perturbation semantics are device-count independent here)."""
+    losses = {}
+    for n in (1, 8):
+        cfg, model, state, images, labels, mesh = _tiny_setup(n)
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        im, lb = shard_batch(mesh, (images, labels))
+        jtrain, _ = make_jitted_steps(model, cfg, mesh)
+        state, m1 = jtrain(state, im, lb)
+        state, m2 = jtrain(state, im, lb)
+        losses[n] = (float(m1["loss"]), float(m2["loss"]))
+    # step 1: identical program semantics, only collective reduction order
+    # differs -> near-bitwise; step 2: that epsilon is amplified through BN
+    # batch statistics of the updated params, so allow a looser bound.
+    np.testing.assert_allclose(losses[1][0], losses[8][0], rtol=1e-5)
+    np.testing.assert_allclose(losses[1][1], losses[8][1], rtol=5e-3)
+
+
+def test_sgd_matches_torch():
+    """optax chain == torch.optim.SGD(momentum=0.9, weight_decay=5e-4) with
+    LambdaLR poly decay, on an arbitrary parameter trajectory."""
+    cfg = Config().train
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    grads = [np.array(g, np.float32) for g in
+             ([0.1, 0.2, -0.3], [-0.5, 0.4, 0.1], [0.2, -0.2, 0.0])]
+
+    # torch
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.SGD([tw], lr=cfg.lr, momentum=cfg.momentum,
+                          weight_decay=cfg.weight_decay)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda it: (1 - it / cfg.max_iter) ** cfg.poly_power)
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+        sched.step()
+
+    # ours
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_cross_entropy_matches_torch():
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 8, 8, 19)).astype(np.float32)
+    labels = rng.integers(0, 19, (2, 8, 8)).astype(np.int64)
+    labels[0, 0, :3] = 255
+    ours = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    t = torch.nn.functional.cross_entropy(
+        torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))),
+        torch.from_numpy(labels), ignore_index=255)
+    assert abs(ours - float(t)) < 1e-6
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1, 128, 128, 19)
+    ge.dryrun_multichip(8)
