@@ -1,0 +1,81 @@
+"""Headline benchmark: MRFP+ (DeepLabV3+ ResNet-50 D16) train throughput.
+
+Measures 768x768 training images/sec/chip with the full perturbation path
+(OC resample + NP+ + gated decoder injection), bf16 compute / fp32 params,
+on whatever accelerator JAX finds (the driver runs this on one real TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput (SURVEY.md §6); BASELINE.md
+sets the target ">=2x PyTorch-A100 images/sec/chip". We use an estimated
+PyTorch-1.12/A100 throughput for this exact model/recipe (bs16 768^2 fp32
+DeepLabV3+ R50-D16 + OC branch ~= 18 img/s) as the denominator, so
+vs_baseline >= 2.0 means the target is met.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_PYTORCH_IMG_PER_SEC = 18.0  # estimated reference throughput (see docstring)
+
+
+def main():
+    from mrfp_tpu.core.config import Config
+    from mrfp_tpu.models import MRFP
+    from mrfp_tpu.perturb import oc_init
+    from mrfp_tpu.train import create_train_state, make_jitted_steps
+
+    cfg = Config()
+    n_chips = jax.device_count()
+    batch = 8 * n_chips          # per-chip batch 8 fits one v5e chip
+    hw = cfg.data.crop_size      # 768
+
+    model = MRFP(trunk="resnet-50", variant="D16", dtype=jnp.bfloat16)
+    state = create_train_state(model, cfg.train, (1, hw, hw, 3),
+                               oc_params=oc_init(jax.random.PRNGKey(1)))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((batch, hw, hw, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 19, (batch, hw, hw)), jnp.int32)
+
+    if n_chips > 1:
+        from mrfp_tpu.core.mesh import create_mesh, shard_batch
+        mesh = create_mesh()
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        images, labels = shard_batch(mesh, (images, labels))
+        jtrain, _ = make_jitted_steps(model, cfg, mesh)
+    else:
+        jtrain, _ = make_jitted_steps(model, cfg, None)
+
+    # warmup / compile (covers both OC-resample branches). NOTE: timing is
+    # closed by fetching the final loss scalar — on the axon tunnel backend
+    # block_until_ready does not synchronize.
+    for _ in range(3):
+        state, metrics = jtrain(state, images, labels)
+    _ = float(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = jtrain(state, images, labels)
+    _ = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec_per_chip = batch * iters / dt / n_chips
+    print(json.dumps({
+        "metric": "mrfp_plus_r50_768_train_images_per_sec_per_chip",
+        "value": round(img_per_sec_per_chip, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec_per_chip / A100_PYTORCH_IMG_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
