@@ -1,0 +1,114 @@
+"""Threaded prefetching data loader.
+
+Replaces torch.utils.data.DataLoader (main.py:813-821) without torch: worker
+threads run the PIL/numpy pipelines (which release the GIL in PIL's C code),
+a bounded queue overlaps host preprocessing with device steps, and batches
+come out as contiguous NHWC numpy ready for jax.device_put. A C++ fast path
+for label decode/remap plugs in via data._native when built.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class DataLoader:
+    """Minimal torch-free loader: shuffle, batch, drop_last, prefetch."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 4, drop_last: bool = True,
+                 prefetch: int = 4, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> Sequence[Sequence[int]]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        nb = len(self)
+        return [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                for i in range(nb)]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._index_batches()
+        self._epoch += 1
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        task_q: "queue.Queue" = queue.Queue()
+        results: Dict[int, Dict[str, np.ndarray]] = {}
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        for bi, b in enumerate(batches):
+            task_q.put((bi, b))
+
+        def collate(samples):
+            imgs = np.stack([s["image"] for s in samples]).astype(np.float32)
+            lbls = np.stack([s["label"] for s in samples]).astype(np.int32)
+            return {"image": imgs, "label": lbls}
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    bi, b = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    batch = collate([self.dataset[int(i)] for i in b])
+                except Exception as exc:  # surface worker errors to consumer
+                    batch = exc
+                with lock:
+                    results[bi] = batch
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        try:
+            for bi in range(len(batches)):
+                while True:
+                    with lock:
+                        if bi in results:
+                            batch = results.pop(bi)
+                            break
+                    threading.Event().wait(0.002)
+                if isinstance(batch, Exception):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+
+
+def prefetch_to_device(iterator, mesh=None, size: int = 2):
+    """Overlap host->device transfer with compute: device_put ``size``
+    batches ahead (sharded over the mesh data axis when given)."""
+    import jax
+    from mrfp_tpu.core.mesh import shard_batch
+
+    buf = []
+    for batch in iterator:
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        else:
+            batch = jax.tree_util.tree_map(jax.device_put, batch)
+        buf.append(batch)
+        if len(buf) >= size:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)

@@ -1,0 +1,378 @@
+"""Host-side image/label transform library (dataloaders.py:24-660).
+
+Same sample-dict API as the reference ({'image','label'}), same PIL
+resampling kernels and probability semantics, with two deliberate changes:
+
+- randomness flows through an explicit ``random.Random``/numpy Generator so
+  worker pipelines are reproducible (the reference uses process-global RNGs);
+- the terminal ``ToTensor`` yields numpy HWC float32 (NHWC is the TPU
+  layout), raw 0..255 scale — the reference's ToTensor also keeps raw pixel
+  scale (dataloaders.py:118-136; its Normalize is commented out of every
+  active pipeline).
+"""
+
+from __future__ import annotations
+
+import random as _random
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageFilter, ImageOps
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample):
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+
+class ToArray:
+    """Terminal transform: PIL -> numpy (image HWC float32, label HW float32)."""
+
+    def __call__(self, sample):
+        img = np.asarray(sample["image"], dtype=np.float32)
+        if img.ndim == 2:
+            img = img[..., None]
+        mask = np.asarray(sample["label"], dtype=np.float32)
+        return {"image": img, "label": mask}
+
+
+# alias matching the reference name
+ToTensor = ToArray
+
+
+class Normalize:
+    """x/255 then (x-mean)/std (dataloaders.py:95-115); inactive by default."""
+
+    def __init__(self, mean=(0., 0., 0.), std=(1., 1., 1.)):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, sample):
+        img = np.asarray(sample["image"], np.float32) / 255.0
+        img = (img - self.mean) / self.std
+        return {"image": img,
+                "label": np.asarray(sample["label"], np.float32)}
+
+
+class RandomHorizontalFlip:
+    def __init__(self, rng: Optional[_random.Random] = None):
+        self.rng = rng or _random
+
+    def __call__(self, sample):
+        if self.rng.random() < 0.5:
+            return {"image": sample["image"].transpose(Image.FLIP_LEFT_RIGHT),
+                    "label": sample["label"].transpose(Image.FLIP_LEFT_RIGHT)}
+        return sample
+
+
+class RandomRotate:
+    def __init__(self, degree, rng: Optional[_random.Random] = None):
+        self.degree = degree
+        self.rng = rng or _random
+
+    def __call__(self, sample):
+        deg = self.rng.uniform(-self.degree, self.degree)
+        return {"image": sample["image"].rotate(deg, Image.BILINEAR),
+                "label": sample["label"].rotate(deg, Image.NEAREST)}
+
+
+class RandomGaussianBlur:
+    def __init__(self, rng: Optional[_random.Random] = None):
+        self.rng = rng or _random
+
+    def __call__(self, sample):
+        img = sample["image"]
+        if self.rng.random() < 0.5:
+            img = img.filter(ImageFilter.GaussianBlur(radius=self.rng.random()))
+        return {"image": img, "label": sample["label"]}
+
+
+class Contrast:
+    def __call__(self, sample):
+        img = ImageEnhance.Contrast(sample["image"]).enhance(2.0)
+        return {"image": img, "label": sample["label"]}
+
+
+class Resize:
+    """PIL-order (size1, size2) == (width, height), BILINEAR/NEAREST
+    (dataloaders.py:467-483)."""
+
+    def __init__(self, size1, size2):
+        self.size = (size1, size2)
+
+    def __call__(self, sample):
+        return {"image": sample["image"].resize(self.size, Image.BILINEAR),
+                "label": sample["label"].resize(self.size, Image.NEAREST)}
+
+
+class ResizeHeight:
+    def __init__(self, size):
+        self.target_h = size
+
+    def __call__(self, sample):
+        w, h = sample["image"].size
+        tw = int(w / h * self.target_h)
+        return {"image": sample["image"].resize((tw, self.target_h), Image.BICUBIC),
+                "label": sample["label"].resize((tw, self.target_h), Image.NEAREST)}
+
+
+class CenterCropPad:
+    """Pad-then-center-crop (dataloaders.py:354-394). Reproduces the
+    reference quirk of computing the crop origin from the PRE-pad size."""
+
+    def __init__(self, size, ignore_index=0):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+        self.ignore_index = ignore_index
+
+    def __call__(self, sample):
+        img, mask = sample["image"], sample["label"]
+        w, h = img.size
+        tw, th = self.size
+        pad_x = max(tw - w, 0)
+        pad_y = max(th - h, 0)
+        if pad_x or pad_y:
+            img = ImageOps.expand(img, border=(pad_x, pad_y, pad_x, pad_y), fill=0)
+            mask = ImageOps.expand(mask, border=(pad_x, pad_y, pad_x, pad_y),
+                                   fill=self.ignore_index)
+        x1 = int(round((w - tw) / 2.0))
+        y1 = int(round((h - th) / 2.0))
+        return {"image": img.crop((x1, y1, x1 + tw, y1 + th)),
+                "label": mask.crop((x1, y1, x1 + tw, y1 + th))}
+
+
+class RandomCropP:
+    """Mapillary train crop: width=crop_size, height=base_size
+    (dataloaders.py:216-234, RandomCrop_p)."""
+
+    def __init__(self, base_size, crop_size, rng: Optional[_random.Random] = None):
+        self.base_size = base_size
+        self.crop_size = crop_size
+        self.rng = rng or _random
+
+    def __call__(self, sample):
+        img, mask = sample["image"], sample["label"]
+        w, h = img.size
+        x0 = self.rng.randint(0, w - self.crop_size)
+        y0 = self.rng.randint(0, h - self.base_size)
+        box = (x0, y0, x0 + self.crop_size, y0 + self.base_size)
+        return {"image": img.crop(box), "label": mask.crop(box)}
+
+
+class RandomCrop:
+    """Centroid-aware random crop with pad/nopad (dataloaders.py:257-337)."""
+
+    def __init__(self, size, ignore_index=0, nopad=True,
+                 rng: Optional[_random.Random] = None):
+        self.size = (int(size), int(size)) if isinstance(size, (int, float)) \
+            else tuple(size)
+        self.ignore_index = ignore_index
+        self.nopad = nopad
+        self.rng = rng or _random
+
+    def __call__(self, img, mask, centroid=None):
+        w, h = img.size
+        th, tw = self.size
+        if w == tw and h == th:
+            return img, mask
+        if self.nopad:
+            if th > h or tw > w:
+                shorter = min(w, h)
+                th, tw = shorter, shorter
+        else:
+            pad_h = (th - h) // 2 + 1 if th > h else 0
+            pad_w = (tw - w) // 2 + 1 if tw > w else 0
+            if pad_h or pad_w:
+                border = (pad_w, pad_h, pad_w, pad_h)
+                img = ImageOps.expand(img, border=border, fill=(0, 0, 0))
+                mask = ImageOps.expand(mask, border=border, fill=self.ignore_index)
+                w, h = img.size
+        if centroid is not None:
+            cx, cy = centroid
+            x1 = min(max(0, self.rng.randint(cx - tw, cx)), w - tw)
+            y1 = min(max(0, self.rng.randint(cy - th, cy)), h - th)
+        else:
+            x1 = 0 if w == tw else self.rng.randint(0, w - tw)
+            y1 = 0 if h == th else self.rng.randint(0, h - th)
+        box = (x1, y1, x1 + tw, y1 + th)
+        return img.crop(box), mask.crop(box)
+
+
+class RandomSizeAndCrop:
+    """Random scale in [0.5, 2.0] then crop (dataloaders.py:398-434).
+
+    GTAV active pipeline: size=768, crop_nopad=False, ignore_index=255,
+    pre_size=None (main.py:414)."""
+
+    def __init__(self, size, crop_nopad, scale_min=0.5, scale_max=2.0,
+                 ignore_index=0, pre_size=None,
+                 rng: Optional[_random.Random] = None):
+        self.rng = rng or _random
+        self.crop = RandomCrop(size, ignore_index=ignore_index,
+                               nopad=crop_nopad, rng=self.rng)
+        self.scale_min, self.scale_max = scale_min, scale_max
+        self.pre_size = pre_size
+
+    def __call__(self, sample, centroid=None):
+        img, mask = sample["image"], sample["label"]
+        if self.pre_size is None:
+            scale_amt = 1.0
+        elif img.size[1] < img.size[0]:
+            scale_amt = self.pre_size / img.size[1]
+        else:
+            scale_amt = self.pre_size / img.size[0]
+        scale_amt *= self.rng.uniform(self.scale_min, self.scale_max)
+        w, h = (int(d * scale_amt) for d in img.size)
+        if centroid is not None:
+            centroid = [int(c * scale_amt) for c in centroid]
+        img = img.resize((w, h), Image.BICUBIC)
+        mask = mask.resize((w, h), Image.NEAREST)
+        img, mask = self.crop(img, mask, centroid)
+        return {"image": img, "label": mask}
+
+
+class RandomScaleCrop:
+    """Short-edge scale + pad + random crop (dataloaders.py:180-214)."""
+
+    def __init__(self, base_size, crop_size, fill=0,
+                 rng: Optional[_random.Random] = None):
+        self.base_size, self.crop_size, self.fill = base_size, crop_size, fill
+        self.rng = rng or _random
+
+    def __call__(self, sample):
+        img, mask = sample["image"], sample["label"]
+        short = self.rng.randint(int(self.base_size * 0.5),
+                                 int(self.base_size * 2.0))
+        w, h = img.size
+        if h > w:
+            ow, oh = short, int(1.0 * h * short / w)
+        else:
+            oh, ow = short, int(1.0 * w * short / h)
+        img = img.resize((ow, oh), Image.BILINEAR)
+        mask = mask.resize((ow, oh), Image.NEAREST)
+        if short < self.crop_size:
+            padh = max(self.crop_size - oh, 0)
+            padw = max(self.crop_size - ow, 0)
+            img = ImageOps.expand(img, border=(0, 0, padw, padh), fill=0)
+            mask = ImageOps.expand(mask, border=(0, 0, padw, padh), fill=self.fill)
+        w, h = img.size
+        x1 = self.rng.randint(0, w - self.crop_size)
+        y1 = self.rng.randint(0, h - self.crop_size)
+        box = (x1, y1, x1 + self.crop_size, y1 + self.crop_size)
+        return {"image": img.crop(box), "label": mask.crop(box)}
+
+
+class FixScaleCrop:
+    """Scale short edge to crop_size then center crop (dataloaders.py:439-465)."""
+
+    def __init__(self, crop_size):
+        self.crop_size = crop_size
+
+    def __call__(self, sample):
+        img, mask = sample["image"], sample["label"]
+        w, h = img.size
+        if w > h:
+            oh = self.crop_size
+            ow = int(1.0 * w * oh / h)
+        else:
+            ow = self.crop_size
+            oh = int(1.0 * h * ow / w)
+        img = img.resize((ow, oh), Image.BILINEAR)
+        mask = mask.resize((ow, oh), Image.NEAREST)
+        w, h = img.size
+        x1 = int(round((w - self.crop_size) / 2.0))
+        y1 = int(round((h - self.crop_size) / 2.0))
+        box = (x1, y1, x1 + self.crop_size, y1 + self.crop_size)
+        return {"image": img.crop(box), "label": mask.crop(box)}
+
+
+class ColorJitter:
+    """Brightness/contrast/saturation/hue jitter in random order, applied
+    with probability 0.5 (dataloaders.py:596-660)."""
+
+    def __init__(self, brightness=0, contrast=0, saturation=0, hue=0,
+                 rng: Optional[np.random.Generator] = None,
+                 prng: Optional[_random.Random] = None):
+        self.b, self.c, self.s, self.h = brightness, contrast, saturation, hue
+        self.rng = rng or np.random
+        self.prng = prng or _random
+
+    @staticmethod
+    def _adjust_hue(img: Image.Image, factor: float) -> Image.Image:
+        if img.mode in {"L", "1", "I", "F"}:
+            return img
+        h, s, v = img.convert("HSV").split()
+        np_h = np.array(h, dtype=np.uint8)
+        with np.errstate(over="ignore"):
+            np_h += np.uint8(factor * 255)
+        return Image.merge("HSV", (Image.fromarray(np_h, "L"), s, v)) \
+            .convert(img.mode)
+
+    def __call__(self, sample):
+        if self.prng.random() >= 0.5:
+            return sample
+        img, mask = sample["image"], sample["label"]
+        ops = []
+        if self.b > 0:
+            f = self.rng.uniform(max(0, 1 - self.b), 1 + self.b)
+            ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
+        if self.c > 0:
+            f = self.rng.uniform(max(0, 1 - self.c), 1 + self.c)
+            ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
+        if self.s > 0:
+            f = self.rng.uniform(max(0, 1 - self.s), 1 + self.s)
+            ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
+        if self.h > 0:
+            f = self.rng.uniform(-self.h, self.h)
+            ops.append(lambda im, f=f: self._adjust_hue(im, f))
+        self.rng.shuffle(ops)
+        for op in ops:
+            img = op(img)
+        return {"image": img, "label": mask}
+
+
+class HPF:
+    """FFT high-pass (dataloaders.py:24-45); numpy host version — the
+    on-device jnp version is mrfp_tpu.perturb.fft_style.hpf."""
+
+    def __init__(self, radius=16):
+        self.radius = radius
+
+    def __call__(self, sample):
+        img = np.asarray(sample["image"], np.float32)
+        out = _fft_mask(img, self.radius, highpass=True)
+        return {"image": out, "label": sample["label"]}
+
+
+class LPF:
+    def __init__(self, radius=16):
+        self.radius = radius
+
+    def __call__(self, sample):
+        img = np.asarray(sample["image"], np.float32)
+        out = _fft_mask(img, self.radius, highpass=False)
+        return {"image": out, "label": sample["label"]}
+
+
+class PHOT:
+    def __call__(self, sample):
+        img = np.asarray(sample["image"], np.float32)
+        f = np.fft.fftn(img)
+        out = np.fft.ifftn(f / np.abs(f))
+        return {"image": (out * 5 * 255).astype(np.float32),
+                "label": sample["label"]}
+
+
+def _fft_mask(img: np.ndarray, r: int, highpass: bool) -> np.ndarray:
+    h, w = img.shape[0], img.shape[1]
+    f = np.fft.fftshift(np.fft.fftn(img))
+    cy, cx = h // 2, w // 2
+    y, x = np.ogrid[:h, :w]
+    inside = (y - cy) ** 2 + (x - cx) ** 2 <= r * r
+    mask = np.where(inside, 0.0, 1.0) if highpass else np.where(inside, 1.0, 0.0)
+    out = np.fft.ifftn(np.fft.ifftshift(f * mask[..., None]))
+    return out.astype(np.float32)  # complex->float keeps the real part

@@ -1,0 +1,122 @@
+"""Multi-domain evaluation driver (main.py:876-913 + metrics.py).
+
+Per domain: stream images, run the jitted eval forward, accumulate the 19x19
+confusion matrix ON DEVICE (the reference copies full-res logits to host
+twice per image, main.py:898-906 — SURVEY.md §3.3 flags it; here only the
+final histogram crosses to host). Images whose label size differs from the
+image are dropped and counted, exactly like main.py:894,910-911 (a
+``strict_pairs=False`` escape hatch keeps them instead).
+
+Variable eval shapes (Mapillary widths, BDD 1280x720, Cityscapes 1024x2048)
+would retrace per shape; images are padded up to a bucket grid (multiple of
+``bucket``) with ignore-labels so a handful of compiled programs cover every
+domain. Padded pixels carry label 255 and never touch the histogram.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrfp_tpu.ops.hist import confusion_matrix_update
+
+
+def pad_to_bucket(img: np.ndarray, lbl: np.ndarray, bucket: int = 128,
+                  ignore_index: int = 255):
+    """Pad HWC image + HW label up to the next bucket multiple (bottom/right)."""
+    h, w = lbl.shape
+    bh = int(math.ceil(h / bucket)) * bucket
+    bw = int(math.ceil(w / bucket)) * bucket
+    if (bh, bw) == (h, w):
+        return img, lbl
+    pimg = np.zeros((bh, bw, img.shape[-1]), img.dtype)
+    pimg[:h, :w] = img
+    plbl = np.full((bh, bw), ignore_index, lbl.dtype)
+    plbl[:h, :w] = lbl
+    return pimg, plbl
+
+
+class SegEvaluator:
+    """Streaming per-domain mIoU evaluator."""
+
+    def __init__(self, model, params, batch_stats, num_classes: int = 19,
+                 bucket: int = 128, strict_pairs: bool = True):
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.num_classes = num_classes
+        self.bucket = bucket
+        self.strict_pairs = strict_pairs
+        self._step = jax.jit(self._hist_step, static_argnums=())
+
+    def _hist_step(self, hist, image, label):
+        out = self.model.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            image, train=False, mutable=False)
+        pred = jnp.argmax(out["logits"], axis=-1)
+        return confusion_matrix_update(hist, pred, label, self.num_classes)
+
+    def run(self, dataset, max_images: Optional[int] = None,
+            log=print) -> Dict[str, object]:
+        hist = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
+        dropped = 0
+        n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        for i in range(n):
+            sample = dataset[i]
+            img = np.asarray(sample["image"], np.float32)
+            lbl = np.asarray(sample["label"], np.int32)
+            if img.shape[:2] != lbl.shape:
+                if self.strict_pairs:
+                    dropped += 1  # reference: count + skip (main.py:910-911)
+                    continue
+                h = min(img.shape[0], lbl.shape[0])
+                w = min(img.shape[1], lbl.shape[1])
+                img, lbl = img[:h, :w], lbl[:h, :w]
+            img, lbl = pad_to_bucket(img, lbl, self.bucket)
+            hist = self._step(hist, img[None], lbl[None])
+        hist_np = np.asarray(jax.device_get(hist)).astype(np.int64)
+        result = evaluate_hist(hist_np, dataset_name=getattr(dataset, "name", "?"),
+                               id2cat=getattr(dataset, "id2cat", None), log=log)
+        result["dropped"] = dropped
+        return result
+
+
+def evaluate_hist(hist: np.ndarray, dataset_name: str = "?",
+                  id2cat=None, log=print) -> Dict[str, object]:
+    """metrics.evaluate_eval/print_evaluate_results (metrics.py:60-120):
+    acc, acc_cls, per-class IoU table with precision/recall/TP/FP/FN, mIoU,
+    fwavacc. Rows of ``hist`` are ground truth, columns prediction."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        acc = np.diag(hist).sum() / hist.sum()
+        acc_cls = np.nanmean(np.diag(hist) / hist.sum(axis=1))
+        iu = np.diag(hist) / (hist.sum(axis=1) + hist.sum(axis=0) - np.diag(hist))
+        freq = hist.sum(axis=1) / hist.sum()
+        mean_iu = np.nanmean(iu)
+        fwavacc = (freq[freq > 0] * iu[freq > 0]).sum()
+
+        tp = np.diag(hist).astype(np.float64)
+        fp = hist.sum(axis=1) - tp
+        fn = hist.sum(axis=0) - tp
+        precision = tp / (tp + fp)
+        recall = tp / (tp + fn)
+
+    id2cat = id2cat or {i: str(i) for i in range(hist.shape[0])}
+    log(f"Dataset name: {dataset_name}")
+    log("label_id      label    iU    Precision Recall TP     FP    FN")
+    total = hist.sum()
+    for idx in range(hist.shape[0]):
+        log(f"{idx:2d}    {str(id2cat.get(idx, '')):>13}   "
+            f"{iu[idx] * 100:5.1f}  {precision[idx]:5.1f}     {recall[idx]:5.1f}"
+            f"  {100 * tp[idx] / total:5.1f}  {fp[idx] / max(tp[idx], 1e-12):5.1f}"
+            f"   {fn[idx] / max(tp[idx], 1e-12):5.1f}")
+    log(f"mean {mean_iu}")
+    logging.info("[dataset %s], [acc %.5f], [acc_cls %.5f], [mean_iu %.5f], "
+                 "[fwavacc %.5f]", dataset_name, acc, acc_cls, mean_iu, fwavacc)
+    return {"acc": float(acc), "acc_cls": float(acc_cls),
+            "mean_iu": float(mean_iu), "fwavacc": float(fwavacc),
+            "iu": iu, "hist": hist}
