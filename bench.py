@@ -26,6 +26,11 @@ A100_PYTORCH_IMG_PER_SEC = 18.0  # estimated reference throughput (see docstring
 
 
 def main():
+    # persistent compilation cache: the ~5 min first-compile of the 768^2
+    # train step is paid once per machine, not per bench run
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mrfp_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     from mrfp_tpu.core.config import Config
     from mrfp_tpu.models import MRFP
     from mrfp_tpu.perturb import oc_init
@@ -37,7 +42,8 @@ def main():
     hw = cfg.data.crop_size      # 768
 
     model = MRFP(trunk="resnet-50", variant="D16", dtype=jnp.bfloat16)
-    state = create_train_state(model, cfg.train, (1, hw, hw, 3),
+    # init at a tiny spatial size: parameter/stat shapes are size-independent
+    state = create_train_state(model, cfg.train, (1, 64, 64, 3),
                                oc_params=oc_init(jax.random.PRNGKey(1)))
 
     rng = np.random.default_rng(0)

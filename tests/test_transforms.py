@@ -1,0 +1,101 @@
+"""Transform parity for the deterministic geometry ops, and distribution /
+protocol checks for the stochastic ones."""
+
+import numpy as np
+import random
+from PIL import Image
+
+from mrfp_tpu.data import transforms as tr
+from mrfp_tpu.data.datasets import SyntheticDataset
+from mrfp_tpu.data.loader import DataLoader
+
+
+def _sample(w=100, h=60):
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    lbl = Image.fromarray(rng.integers(0, 19, (h, w), dtype=np.uint8))
+    return {"image": img, "label": lbl}
+
+
+def test_resize_is_pil_wh_order():
+    """Resize(size1,size2) passes (w,h) to PIL (dataloaders.py:467-479)."""
+    out = tr.Resize(50, 30)(_sample())
+    assert out["image"].size == (50, 30)
+    assert out["label"].size == (50, 30)
+
+
+def test_resize_height():
+    out = tr.ResizeHeight(120)(_sample(w=100, h=60))
+    assert out["image"].size == (int(100 / 60 * 120), 120)
+
+
+def test_center_crop_pad_prepad_origin_quirk():
+    """Crop origin uses the PRE-pad size (dataloaders.py:382-391)."""
+    s = _sample(w=100, h=60)
+    out = tr.CenterCropPad(80, ignore_index=255)(s)
+    # w=100 >= 80: no pad_x; h=60 < 80: pad_y=20 both sides -> h=100
+    # x1 = round((100-80)/2)=10, y1 = round((60-80)/2)=-10
+    assert out["image"].size == (80, 80)
+    lbl = np.asarray(out["label"])
+    # y1 = round((60-80)/2) = -10: crop extends above the padded image, so
+    # PIL fills rows [0,10) with 0; rows [10,30) hit the 255 pad; rows
+    # [30,80) are original rows [0,50)
+    assert (lbl[:10] == 0).all()
+    assert (lbl[10:30] == 255).all()
+    assert (lbl[30:] < 19).all()
+
+
+def test_random_crop_p_geometry():
+    rng = random.Random(0)
+    out = tr.RandomCropP(base_size=40, crop_size=70, rng=rng)(_sample(100, 60))
+    assert out["image"].size == (70, 40)  # (w=crop, h=base)
+
+
+def test_random_size_and_crop_output():
+    rng = random.Random(0)
+    t = tr.RandomSizeAndCrop(48, crop_nopad=False, ignore_index=255, rng=rng)
+    out = t(_sample(100, 60))
+    assert out["image"].size == (48, 48)
+    assert out["label"].size == (48, 48)
+
+
+def test_flip_flips_both():
+    s = _sample()
+    rng = random.Random(1)  # first random() < 0.5 -> flips
+    while rng.random() >= 0.5:
+        pass
+    rng2 = random.Random(1)
+    out = tr.RandomHorizontalFlip(rng2)(s)
+    img0 = np.asarray(s["image"])
+    img1 = np.asarray(out["image"])
+    if not np.array_equal(img0, img1):  # flipped
+        np.testing.assert_array_equal(img1, img0[:, ::-1])
+        np.testing.assert_array_equal(np.asarray(out["label"]),
+                                      np.asarray(s["label"])[:, ::-1])
+
+
+def test_to_array_keeps_raw_scale():
+    out = tr.ToArray()(_sample())
+    assert out["image"].dtype == np.float32
+    assert out["image"].max() > 1.5  # raw 0..255, NOT normalized
+    assert out["image"].ndim == 3 and out["image"].shape[-1] == 3
+
+
+def test_fft_transforms_shapes():
+    s = tr.ToArray()(_sample(32, 32))
+    for T in (tr.HPF(), tr.LPF(), tr.PHOT()):
+        out = T({"image": s["image"], "label": s["label"]})
+        assert out["image"].shape == s["image"].shape
+        assert out["image"].dtype == np.float32
+
+
+def test_loader_batching_and_shuffle_determinism():
+    ds = SyntheticDataset(length=10, hw=(16, 16))
+    dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=42)
+    batches = list(dl)
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["image"].shape == (4, 16, 16, 3)
+    assert batches[0]["label"].dtype == np.int32
+    dl2 = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=42)
+    b2 = list(dl2)
+    np.testing.assert_array_equal(batches[0]["image"], b2[0]["image"])
