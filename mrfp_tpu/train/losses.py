@@ -54,5 +54,5 @@ def instance_whitening_loss(w_arr: Sequence[jnp.ndarray],
         nrc = (num_remove_cov[i] if num_remove_cov is not None
                else jnp.sum(mask))
         off = jnp.sum(jnp.abs(cov * mask), axis=(1, 2)) - margin
-        total = total + jnp.mean(jnp.clip(off / nrc, a_min=0.0))
+        total = total + jnp.mean(jnp.clip(off / nrc, min=0.0))
     return total
