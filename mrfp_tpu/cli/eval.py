@@ -1,0 +1,96 @@
+"""Multi-domain evaluation entry point (main.py:876-913).
+
+    python -m mrfp_tpu.cli.eval --ckpt runs/.../ckpt --data-root /data \
+        --domains bdd100k cityscapes synthia mapillary gtav
+
+Accepts either an Orbax run directory or a PyTorch .pth checkpoint from the
+reference (imported on the fly through train.import_torch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="mrfp_tpu multi-domain eval")
+    p.add_argument("--ckpt", required=False, default=None,
+                   help="Orbax run dir or reference .pth file")
+    p.add_argument("--data-root", default="/data")
+    p.add_argument("--domains", nargs="+",
+                   default=["bdd100k", "cityscapes", "synthia",
+                            "mapillary", "gtav"])
+    p.add_argument("--trunk", default="resnet-50")
+    p.add_argument("--variant", default="D16")
+    p.add_argument("--eval-size", type=int, default=1536)
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--strict-pairs", action="store_true", default=True,
+                   help="drop images whose label size mismatches "
+                        "(reference behavior, main.py:894)")
+    return p.parse_args()
+
+
+def load_model_and_params(args):
+    from mrfp_tpu.models import MRFP
+    from mrfp_tpu.train.import_torch import load_torch_checkpoint
+
+    model = MRFP(trunk=args.trunk, variant=args.variant)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    if args.ckpt and args.ckpt.endswith(".pth"):
+        params, stats, _oc, report = load_torch_checkpoint(args.ckpt, variables)
+        logging.info("imported torch checkpoint: %d tensors, %d skipped",
+                     report["loaded"], len(report["skipped"]))
+    elif args.ckpt:
+        import orbax.checkpoint as ocp
+        from mrfp_tpu.core.config import Config
+        from mrfp_tpu.perturb import oc_init
+        from mrfp_tpu.train import create_train_state
+        from mrfp_tpu.train.checkpoint import CheckpointManager
+
+        template = create_train_state(model, Config().train, (1, 64, 64, 3),
+                                      oc_params=oc_init(jax.random.PRNGKey(1)))
+        mgr = CheckpointManager(args.ckpt)
+        state = mgr.restore(template)
+        if state is None:
+            raise FileNotFoundError(f"no checkpoint under {args.ckpt}")
+        params, stats = state.params, state.batch_stats
+    return model, params, stats
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    model, params, stats = load_model_and_params(args)
+
+    from mrfp_tpu.data.datasets import DATASETS, VAL_SPLITS, SyntheticDataset
+    from mrfp_tpu.train.evaluator import SegEvaluator
+
+    evaluator = SegEvaluator(model, params, stats,
+                             strict_pairs=args.strict_pairs)
+    results = {}
+    for domain in args.domains:
+        if args.synthetic:
+            ds = SyntheticDataset(length=4, hw=(256, 512))
+            ds.name = domain
+        else:
+            ds = DATASETS[domain](root=args.data_root,
+                                  split=VAL_SPLITS[domain], train=False,
+                                  eval_size=args.eval_size)
+        res = evaluator.run(ds, max_images=args.max_images)
+        print(f"Number of images dropped: {res['dropped']}")
+        results[domain] = {"mean_iu": res["mean_iu"], "acc": res["acc"],
+                           "fwavacc": res["fwavacc"]}
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,8 +52,9 @@ def create_train_state(model, cfg: TrainConfig, input_shape,
     seed = cfg.seed if seed is None else seed
     key = jax.random.PRNGKey(seed)
     k_init, k_base = jax.random.split(key)
-    variables = model.init({"params": k_init},
-                           jnp.zeros(input_shape, jnp.float32), train=False)
+    # jit the init: eager per-op dispatch is ~10x slower on some backends
+    init_fn = jax.jit(lambda k, x: model.init({"params": k}, x, train=False))
+    variables = init_fn(k_init, jnp.zeros(input_shape, jnp.float32))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg)

@@ -1,0 +1,71 @@
+"""Experiment harness — working replacement for the reference's
+import-broken utils/misc.py (its `import datasets` at misc.py:15 references a
+module that does not exist, SURVEY.md §2.2 #37).
+
+Provides: experiment-name mangling from the config (misc.py:24-63), per-run
+directory setup + logging config (misc.py:75-117), and a CSV/JSONL metric
+writer standing in for tensorboardX (the env has no TB writer; the format is
+trivially importable into TB offline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import json
+import logging
+import os
+from typing import Any, Dict, Optional
+
+
+def make_exp_name(cfg) -> str:
+    """Compact run name from the salient knobs (misc.py:24-63 spirit)."""
+    m, p, t = cfg.model, cfg.perturb, cfg.train
+    bits = [m.trunk.replace("-", ""), m.variant,
+            "wt" + "".join(str(x) for x in m.wt_layer)]
+    if p.enabled:
+        bits.append(f"mrfp{'p' if m.hrfp_plus else ''}")
+    bits += [f"bs{cfg.data.batch_size}", f"lr{t.lr:g}", f"it{t.max_iter}"]
+    return "_".join(bits)
+
+
+def save_log(prefix: str, output_dir: str, rank: int = 0) -> None:
+    """File+console logging (misc.py:75-90): one log file per process."""
+    fmt = "%(asctime)s.%(msecs)03d %(message)s"
+    date_fmt = "%m-%d %H:%M:%S"
+    stamp = datetime.datetime.now().strftime("%Y_%m_%d_%H_%M_%S")
+    filename = os.path.join(output_dir, f"{prefix}_{stamp}_rank_{rank}.log")
+    os.makedirs(output_dir, exist_ok=True)
+    logging.basicConfig(level=logging.INFO, format=fmt, datefmt=date_fmt,
+                        filename=filename, filemode="w", force=True)
+    console = logging.StreamHandler()
+    console.setLevel(logging.INFO)
+    console.setFormatter(logging.Formatter(fmt=fmt, datefmt=date_fmt))
+    logging.getLogger("").addHandler(console)
+
+
+class MetricWriter:
+    """JSONL scalar writer (tensorboardX stand-in, misc.py:115,249-254)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "a", buffering=1)
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        self._f.write(json.dumps({"tag": tag, "value": float(value),
+                                  "step": int(step)}) + "\n")
+
+    def close(self):
+        self._f.close()
+
+
+def prep_experiment(cfg, root: str = "./runs") -> Dict[str, Any]:
+    """Create run dirs + logging + writer (misc.py:94-117)."""
+    name = make_exp_name(cfg)
+    exp_dir = os.path.join(root, name)
+    ckpt_dir = os.path.join(exp_dir, "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_log("log", exp_dir)
+    writer = MetricWriter(os.path.join(exp_dir, "metrics.jsonl"))
+    return {"name": name, "exp_dir": exp_dir, "ckpt_dir": ckpt_dir,
+            "writer": writer}
