@@ -1,0 +1,86 @@
+"""Pallas TPU kernel: fused NP+ application.
+
+The NP+ affine (deepv3.py:276) reads the feature map once more than
+necessary when left to XLA across the jnp mean / random / affine boundary.
+This kernel applies ``alpha*x + (beta-alpha)*mean`` in a single
+read-modify-write over HBM with the (B,C) coefficient vectors resident in
+VMEM. The statistics (spatial means, cross-batch std, alpha/beta draws) stay
+in jnp — they are O(B*C) work and feed the TPU PRNG-independent
+jax.random path that keeps runs bitwise reproducible (core/rng.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _apply_kernel(x_ref, a_ref, b_ref, out_ref):
+    # block: (1, BH, W, C); coefficients (1, 1, 1, C) slices of this batch row
+    a = a_ref[:]
+    b = b_ref[:]
+    out_ref[:] = x_ref[:] * a + b
+
+
+def np_plus_apply_pallas(x: jnp.ndarray, alpha: jnp.ndarray,
+                         shift: jnp.ndarray,
+                         block_h: int = 64,
+                         interpret: bool = False) -> jnp.ndarray:
+    """out = x*alpha + shift with NHWC x and (B,1,1,C) coefficients."""
+    n, h, w, c = x.shape
+    bh = min(block_h, h)
+    pad_h = (-h) % bh
+    if pad_h:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
+    grid = (n, (h + pad_h) // bh)
+    out = pl.pallas_call(
+        _apply_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bh, w, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, alpha.astype(x.dtype), shift.astype(x.dtype))
+    return out[:, :h] if pad_h else out
+
+
+def normalization_perturbation_plus_pallas(key: jax.Array, feat: jnp.ndarray,
+                                           std: float = 0.75,
+                                           scale_mult: float = 1.5,
+                                           block_h: int = 64,
+                                           interpret: bool = False) -> jnp.ndarray:
+    """NP+ with the Pallas fused apply. Math identical to
+    perturb.np_plus.normalization_perturbation_plus:
+      out = alpha*feat + (beta-alpha)*feat_mean
+    """
+    f32 = feat.astype(jnp.float32)
+    feat_mean = jnp.mean(f32, axis=(1, 2), keepdims=True)          # (B,1,1,C)
+    mean_diff = jnp.std(feat_mean, axis=0, keepdims=True, ddof=1)
+    mean_scale = mean_diff / jnp.max(mean_diff) * scale_mult
+    k1, k2 = jax.random.split(key)
+    shape = feat_mean.shape
+    alpha = 1.0 + std * jax.random.normal(k1, shape, jnp.float32)
+    beta = 1.0 + std * jax.random.normal(k2, shape, jnp.float32) * mean_scale
+    shift = (beta - alpha) * feat_mean
+    return np_plus_apply_pallas(feat, alpha, shift, block_h=block_h,
+                                interpret=interpret)
+
+
+def np_plus_auto(key, feat, std: float = 0.75, scale_mult: float = 1.5):
+    """Pallas on TPU, reference jnp path elsewhere."""
+    if jax.default_backend() == "tpu":
+        return normalization_perturbation_plus_pallas(key, feat, std, scale_mult)
+    from mrfp_tpu.perturb.np_plus import normalization_perturbation_plus
+    return normalization_perturbation_plus(key, feat, std, scale_mult)
