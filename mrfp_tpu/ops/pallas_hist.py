@@ -33,16 +33,18 @@ def _hist_kernel(pred_ref, label_ref, out_ref, *, num_classes: int):
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    p = pred_ref[:].reshape(-1)[:, None]                     # (npix, 1)
-    l = label_ref[:].reshape(-1)[:, None]
-    npix = p.shape[0]
-    classes = jax.lax.broadcasted_iota(jnp.int32, (npix, _LANES), 1)
+    p = pred_ref[:][:, :, None]                              # (R, COLS, 1)
+    l = label_ref[:][:, :, None]
+    rows, cols = pred_ref.shape
+    classes = jax.lax.broadcasted_iota(jnp.int32, (rows, cols, _LANES), 2)
     valid = (l >= 0) & (l < num_classes)
     oh_pred = ((p == classes) & valid).astype(jnp.float32)
     oh_label = ((l == classes) & valid).astype(jnp.float32)
-    out_ref[:] += jax.lax.dot_general(
-        oh_label, oh_pred, (((0,), (0,)), ((), ())),
+    # batched matmul over the row axis -> (R, LANES, LANES), reduce rows
+    partial = jax.lax.dot_general(
+        oh_label, oh_pred, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
+    out_ref[:] += jnp.sum(partial, axis=0)
 
 
 def confusion_matrix_pallas(pred: jnp.ndarray, label: jnp.ndarray,
