@@ -58,6 +58,10 @@ _TRUNKS = {
                          in_ch=(0, 0, 24, 116, 232, 464, 1024)),
     "mobilenetv2": dict(kind="mobilenet", build=None,
                         in_ch=(0, 0, 16, 32, 64, 320, 1280)),
+    "mnasnet_05": dict(kind="mnasnet", build=None, alpha=0.5,
+                       in_ch=(0, 0, 8, 24, 48, 160, 1280)),
+    "mnasnet_10": dict(kind="mnasnet", build=None, alpha=1.0,
+                       in_ch=(0, 0, 16, 40, 96, 320, 1280)),
     "se_resnext-50": dict(kind="seresnext", build=se_resnext50_32x4d,
                           in_ch=(0, 0, 64, 256, 512, 1024, 2048)),
     "se_resnext-101": dict(kind="seresnext", build=se_resnext101_32x4d,
@@ -94,6 +98,10 @@ class DeepV3Plus(nn.Module):
             self.backbone = ShuffleNetV2(wt_layer=self.wt_layer,
                                          variant=self.variant,
                                          dtype=self.dtype, name="backbone")
+        elif kind == "mnasnet":
+            from mrfp_tpu.nn.mnasnet import MNASNet
+            self.backbone = MNASNet(alpha=spec["alpha"], variant=self.variant,
+                                    dtype=self.dtype, name="backbone")
         else:  # seresnext (no iw instrumentation upstream either)
             self.backbone = spec["build"](dtype=self.dtype, name="backbone")
         self.aspp = ASPP(256, output_stride=variant_os(self.variant),
@@ -206,6 +214,10 @@ DeepShuffleNetV3PlusD_OS8 = _factory("shufflenetv2", "D")
 DeepShuffleNetV3PlusD_OS32 = _factory("shufflenetv2", "D32")
 DeepMobileNetV3PlusD = _factory("mobilenetv2", "D16")
 DeepMobileNetV3PlusD_OS8 = _factory("mobilenetv2", "D")
+DeepMNASNet05V3PlusD = _factory("mnasnet_05", "D16")
+DeepMNASNet10V3PlusD = _factory("mnasnet_10", "D16")
+DeepSEResNext50V3PlusD = _factory("se_resnext-50", "D16")
+DeepSEResNext101V3PlusD = _factory("se_resnext-101", "D16")
 
 MODEL_REGISTRY = {
     name: obj for name, obj in list(globals().items())
