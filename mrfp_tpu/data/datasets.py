@@ -45,13 +45,17 @@ class _SegDataset:
 
     def __init__(self, root: str, split: str, train: bool,
                  base_size: int = 768, crop_size: int = 768,
-                 eval_size: int = 1536, seed: int = 0):
+                 eval_size: int = 1536, seed: int = 0,
+                 freq_transform: Optional[str] = None):
         self.root = root
         self.split = split
         self.train = train
         self.base_size = base_size
         self.crop_size = crop_size
         self.eval_size = eval_size
+        # optional HPF/LPF/PHOT slot (the reference keeps these commented in
+        # its pipelines, dataloaders.py:24-79 / main.py:325-327)
+        self.freq_transform = freq_transform
         self.rng = _random.Random(seed)
         self.nprng = np.random.default_rng(seed)
         self.files = self._discover()
@@ -90,6 +94,14 @@ class _SegDataset:
         target = self._load_label(self._label_path(img_path))
         return self.transform({"image": img, "label": target})
 
+    def _freq_tail(self):
+        tail = []
+        if self.freq_transform:
+            tail.append({"hpf": tr.HPF(), "lpf": tr.LPF(),
+                         "phot": tr.PHOT()}[self.freq_transform])
+        tail.append(tr.ToArray())
+        return tail
+
     # the standard "GTAV-style" train pipeline (main.py:410-419)
     def _train_tf_scalecrop(self):
         return tr.Compose([
@@ -100,8 +112,7 @@ class _SegDataset:
                                  ignore_index=255, pre_size=None, rng=self.rng),
             tr.Resize(self.crop_size, self.crop_size),
             tr.RandomGaussianBlur(self.rng),
-            tr.ToArray(),
-        ])
+        ] + self._freq_tail())
 
     # the "resize-only" train pipeline (BDD/SYNTHIA/foggy, main.py:319-328)
     def _train_tf_resize(self):
@@ -111,8 +122,7 @@ class _SegDataset:
                            saturation=0.2, rng=self.nprng, prng=self.rng),
             tr.Resize(self.base_size, self.crop_size),
             tr.RandomGaussianBlur(self.rng),
-            tr.ToArray(),
-        ])
+        ] + self._freq_tail())
 
 
 class Cityscapes(_SegDataset):

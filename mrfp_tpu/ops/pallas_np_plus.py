@@ -28,7 +28,7 @@ def _apply_kernel(x_ref, a_ref, b_ref, out_ref):
 
 def np_plus_apply_pallas(x: jnp.ndarray, alpha: jnp.ndarray,
                          shift: jnp.ndarray,
-                         block_h: int = 64,
+                         block_h: int = 32,
                          interpret: bool = False) -> jnp.ndarray:
     """out = x*alpha + shift with NHWC x and (B,1,1,C) coefficients."""
     n, h, w, c = x.shape
@@ -59,7 +59,7 @@ def np_plus_apply_pallas(x: jnp.ndarray, alpha: jnp.ndarray,
 def normalization_perturbation_plus_pallas(key: jax.Array, feat: jnp.ndarray,
                                            std: float = 0.75,
                                            scale_mult: float = 1.5,
-                                           block_h: int = 64,
+                                           block_h: int = 32,
                                            interpret: bool = False) -> jnp.ndarray:
     """NP+ with the Pallas fused apply. Math identical to
     perturb.np_plus.normalization_perturbation_plus:

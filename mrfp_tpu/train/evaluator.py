@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mrfp_tpu.ops.hist import confusion_matrix_update
+from mrfp_tpu.ops.pallas_hist import confusion_matrix_pallas
 
 
 def pad_to_bucket(img: np.ndarray, lbl: np.ndarray, bucket: int = 128,
@@ -59,6 +60,10 @@ class SegEvaluator:
             {"params": self.params, "batch_stats": self.batch_stats},
             image, train=False, mutable=False)
         pred = jnp.argmax(out["logits"], axis=-1)
+        if jax.default_backend() == "tpu":
+            # one-hot MXU matmuls: ~5x faster than the scatter on full-res
+            # images (ops/pallas_hist.py)
+            return hist + confusion_matrix_pallas(pred, label, self.num_classes)
         return confusion_matrix_update(hist, pred, label, self.num_classes)
 
     def run(self, dataset, max_images: Optional[int] = None,
