@@ -307,6 +307,36 @@ class Mapillary(_SegDataset):
         ])
 
 
+class ConcatDataset:
+    """torch.utils.data.ConcatDataset equivalent (main.py:821 concatenates
+    GTAV + SYNTHIA for multi-source training)."""
+
+    name = "concat"
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = []
+        total = 0
+        for d in self.datasets:
+            total += len(d)
+            self._offsets.append(total)
+        self._len = total
+        self.num_classes = getattr(self.datasets[0], "num_classes", 19)
+        self.ignore_index = getattr(self.datasets[0], "ignore_index", 255)
+        self.id2cat = getattr(self.datasets[0], "id2cat", None)
+
+    def __len__(self):
+        return self._len
+
+    def __getitem__(self, index):
+        lo = 0
+        for di, hi in enumerate(self._offsets):
+            if index < hi:
+                return self.datasets[di][index - lo]
+            lo = hi
+        raise IndexError(index)
+
+
 class SyntheticDataset:
     """Data-free stand-in with the same protocol (tests/benchmarks)."""
 

@@ -18,7 +18,11 @@ import jax.numpy as jnp
 from mrfp_tpu.models import MRFP
 from mrfp_tpu.train.import_torch import convert_state_dict
 
-from torch_oracle import make_reference_state_dict, reference_eval_forward
+from torch_oracle import (
+    make_reference_state_dict,
+    reference_eval_forward,
+    reference_train_forward,
+)
 
 
 @pytest.fixture(scope="module")
@@ -62,3 +66,24 @@ def test_eval_logits_match_reference(setup, hw):
     # argmax agreement (the metric that matters for mIoU parity)
     agree = (ours.argmax(-1) == ref.argmax(-1)).mean()
     assert agree > 0.999
+
+
+def test_train_mode_bn_logits_match_reference(setup):
+    """Train forward with all gates off: BNs use batch statistics (loss-curve
+    parity depends on this path)."""
+    sd, model, params, stats, oc, _ = setup
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+
+    out, _mut = model.apply({"params": params, "batch_stats": stats},
+                            jnp.asarray(x), train=True, perturb=None,
+                            mutable=["batch_stats"])
+    ours = np.asarray(out["logits"])
+    ref = reference_train_forward(sd, torch.from_numpy(
+        np.transpose(x, (0, 3, 1, 2)).copy()))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    # batch-stat normalization amplifies fp reduction-order noise; bound the
+    # absolute error and require argmax agreement
+    np.testing.assert_allclose(ours, ref, atol=6e-3)
+    # random-weight logit margins are tiny; small fp noise flips some argmaxes
+    assert (ours.argmax(-1) == ref.argmax(-1)).mean() > 0.995

@@ -95,7 +95,17 @@ def make_reference_state_dict(seed: int = 0, num_classes: int = 19,
     return {prefix + k: v for k, v in sd.items()}
 
 
+_TRAIN_MODE = {"on": False}
+
+
 def _bn(x, sd, name):
+    if _TRAIN_MODE["on"]:
+        # train-mode BN: batch stats normalize; running buffers are cloned so
+        # repeated oracle calls stay pure
+        return F.batch_norm(x, sd[name + ".running_mean"].clone(),
+                            sd[name + ".running_var"].clone(),
+                            sd[name + ".weight"], sd[name + ".bias"],
+                            training=True, eps=1e-5)
     return F.batch_norm(x, sd[name + ".running_mean"], sd[name + ".running_var"],
                         sd[name + ".weight"], sd[name + ".bias"],
                         training=False, eps=1e-5)
@@ -123,6 +133,16 @@ def _bottleneck(x, sd, p, stride, dilation, has_ds, has_in):
 
 def _up(x, size):
     return F.interpolate(x, size=size, mode="bilinear", align_corners=True)
+
+
+def reference_train_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
+    """Train-mode logits with all perturbation gates OFF (p,p2,p3 >= 0.5):
+    identical graph to eval but BNs normalize with batch statistics."""
+    _TRAIN_MODE["on"] = True
+    try:
+        return reference_eval_forward(sd, x)
+    finally:
+        _TRAIN_MODE["on"] = False
 
 
 def reference_eval_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
