@@ -85,6 +85,7 @@ class MRFP(nn.Module):
     np_scale: float = 1.5
     oc_scales_enc: Tuple[float, ...] = (1.205, 1.2, 1.2)
     oc_scales_dec: Tuple[float, ...] = (0.838, 0.798)
+    remat: bool = False              # rematerialize backbone stages
     dtype: Optional[Any] = None      # compute dtype for convs (bf16 on TPU)
 
     def setup(self):
@@ -92,8 +93,8 @@ class MRFP(nn.Module):
             raise ValueError(f"unsupported trunk {self.trunk!r} for MRFP "
                              f"(zoo trunks live in models.deepv3_zoo)")
         self.backbone = _RESNET_BUILDERS[self.trunk](
-            wt_layer=self.wt_layer, variant=self.variant, dtype=self.dtype,
-            name="backbone")
+            wt_layer=self.wt_layer, variant=self.variant, remat=self.remat,
+            dtype=self.dtype, name="backbone")
         os = variant_output_stride(self.variant)
         self.aspp = ASPP(256, output_stride=os, dtype=self.dtype, name="aspp")
         self.decoder = DeepLabDecoder(dtype=self.dtype, name="decoder")

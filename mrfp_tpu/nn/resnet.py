@@ -171,12 +171,18 @@ class ResNet(nn.Module):
     deep_stem: bool = False              # ResNet3X3 stem (resnet-101)
     groups: int = 1
     base_width: int = 64
+    remat: bool = False                  # rematerialize stages (memory/batch)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         block_cls = Bottleneck if self.block == "bottleneck" else BasicBlock
         expansion = 4 if self.block == "bottleneck" else 1
         plan = stage_plan(self.variant)
+        # remat is incompatible with the w_arr side channel (codes 1/2 append
+        # whitening maps that must escape the checkpointed scope)
+        stage_cls = _Stage
+        if self.remat and not any(c in (1, 2) for c in self.wt_layer):
+            stage_cls = nn.remat(_Stage, static_argnums=(3,))
 
         if self.deep_stem:
             self.conv1 = conv2d(64, 3, 2, 1, dtype=self.dtype, name="conv1")
@@ -200,7 +206,7 @@ class ResNet(nn.Module):
         planes = (64, 128, 256, 512)
         for i in range(4):
             stride, dilation = plan[i]
-            stages.append(_Stage(
+            stages.append(stage_cls(
                 block_cls=block_cls, planes=planes[i], blocks=self.layers[i],
                 in_ch=in_ch, stride=stride, dilation=dilation,
                 iw=self.wt_layer[3 + i], groups=self.groups,
