@@ -56,6 +56,11 @@ class _SegDataset:
         # optional HPF/LPF/PHOT slot (the reference keeps these commented in
         # its pipelines, dataloaders.py:24-79 / main.py:325-327)
         self.freq_transform = freq_transform
+        self.seed = seed
+        self.epoch = 0
+        # default (shared) RNGs used when the pipeline is deterministic;
+        # stochastic train pipelines get per-sample RNGs in __getitem__ so
+        # multi-threaded loading stays bitwise reproducible
         self.rng = _random.Random(seed)
         self.nprng = np.random.default_rng(seed)
         self.files = self._discover()
@@ -63,6 +68,10 @@ class _SegDataset:
             raise FileNotFoundError(
                 f"No files for split={split!r} under {self._images_base()}")
         self.transform = self._build_transform()
+
+    def set_epoch(self, epoch: int):
+        """Make per-sample augmentation draws epoch-dependent."""
+        self.epoch = epoch
 
     # --- per-dataset hooks ---
     def _images_base(self) -> str:
@@ -77,7 +86,7 @@ class _SegDataset:
     def _encode(self, mask: np.ndarray) -> np.ndarray:
         raise NotImplementedError
 
-    def _build_transform(self):
+    def _build_transform(self, rng=None, nprng=None):
         return tr.Compose([tr.ToArray()])
 
     # --- protocol ---
@@ -88,11 +97,25 @@ class _SegDataset:
         raw = np.array(Image.open(lbl_path), dtype=np.uint8)
         return Image.fromarray(self._encode(raw))
 
+    def _sample_rngs(self, index: int):
+        """Per-sample RNGs: multi-threaded loading stays deterministic
+        (shared-RNG draws would race across workers). zlib.crc32 is a stable
+        hash (builtin hash() is salted per process)."""
+        import zlib
+        tag = f"{self.seed}:{self.epoch}:{index}".encode()
+        h = zlib.crc32(tag)
+        return _random.Random(h), np.random.default_rng(h)
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         img_path = self.files[index]
         img = Image.open(img_path).convert("RGB")
         target = self._load_label(self._label_path(img_path))
-        return self.transform({"image": img, "label": target})
+        if self.train:
+            rng, nprng = self._sample_rngs(index)
+            transform = self._build_transform(rng, nprng)
+        else:
+            transform = self.transform
+        return transform({"image": img, "label": target})
 
     def _freq_tail(self):
         tail = []
@@ -103,25 +126,29 @@ class _SegDataset:
         return tail
 
     # the standard "GTAV-style" train pipeline (main.py:410-419)
-    def _train_tf_scalecrop(self):
+    def _train_tf_scalecrop(self, rng=None, nprng=None):
+        rng = rng or self.rng
+        nprng = nprng if nprng is not None else self.nprng
         return tr.Compose([
-            tr.RandomHorizontalFlip(self.rng),
+            tr.RandomHorizontalFlip(rng),
             tr.ColorJitter(brightness=0.5, hue=0.3, contrast=0.2,
-                           saturation=0.2, rng=self.nprng, prng=self.rng),
+                           saturation=0.2, rng=nprng, prng=rng),
             tr.RandomSizeAndCrop(self.crop_size, crop_nopad=False,
-                                 ignore_index=255, pre_size=None, rng=self.rng),
+                                 ignore_index=255, pre_size=None, rng=rng),
             tr.Resize(self.crop_size, self.crop_size),
-            tr.RandomGaussianBlur(self.rng),
+            tr.RandomGaussianBlur(rng),
         ] + self._freq_tail())
 
     # the "resize-only" train pipeline (BDD/SYNTHIA/foggy, main.py:319-328)
-    def _train_tf_resize(self):
+    def _train_tf_resize(self, rng=None, nprng=None):
+        rng = rng or self.rng
+        nprng = nprng if nprng is not None else self.nprng
         return tr.Compose([
-            tr.RandomHorizontalFlip(self.rng),
+            tr.RandomHorizontalFlip(rng),
             tr.ColorJitter(brightness=0.5, hue=0.3, contrast=0.2,
-                           saturation=0.2, rng=self.nprng, prng=self.rng),
+                           saturation=0.2, rng=nprng, prng=rng),
             tr.Resize(self.base_size, self.crop_size),
-            tr.RandomGaussianBlur(self.rng),
+            tr.RandomGaussianBlur(rng),
         ] + self._freq_tail())
 
 
@@ -145,7 +172,7 @@ class Cityscapes(_SegDataset):
     def _encode(self, mask):
         return lm.encode_cityscapes(mask)
 
-    def _build_transform(self):
+    def _build_transform(self, rng=None, nprng=None):
         return tr.Compose([tr.ToArray()])
 
 
@@ -184,8 +211,8 @@ class FoggyCityscapes(_SegDataset):
     def _encode(self, mask):
         return lm.encode_cityscapes(mask)
 
-    def _build_transform(self):
-        return self._train_tf_resize() if self.train else \
+    def _build_transform(self, rng=None, nprng=None):
+        return self._train_tf_resize(rng, nprng) if self.train else \
             tr.Compose([tr.ToArray()])
 
 
@@ -207,8 +234,8 @@ class GTAV(_SegDataset):
     def _encode(self, mask):
         return lm.encode_gtav(mask)
 
-    def _build_transform(self):
-        return self._train_tf_scalecrop() if self.train else \
+    def _build_transform(self, rng=None, nprng=None):
+        return self._train_tf_scalecrop(rng, nprng) if self.train else \
             tr.Compose([tr.ToArray()])
 
 
@@ -230,8 +257,8 @@ class BDD100k(_SegDataset):
     def _encode(self, mask):
         return lm.encode_bdd(mask)
 
-    def _build_transform(self):
-        return self._train_tf_resize() if self.train else \
+    def _build_transform(self, rng=None, nprng=None):
+        return self._train_tf_resize(rng, nprng) if self.train else \
             tr.Compose([tr.ToArray()])
 
 
@@ -267,8 +294,8 @@ class Synthia(_SegDataset):
             label[raw == k] = v
         return Image.fromarray(label)
 
-    def _build_transform(self):
-        return self._train_tf_resize() if self.train else \
+    def _build_transform(self, rng=None, nprng=None):
+        return self._train_tf_resize(rng, nprng) if self.train else \
             tr.Compose([tr.ToArray()])
 
 
@@ -290,14 +317,16 @@ class Mapillary(_SegDataset):
     def _encode(self, mask):
         return lm.encode_mapillary(mask)
 
-    def _build_transform(self):
+    def _build_transform(self, rng=None, nprng=None):
+        rng = rng or self.rng
+        nprng = nprng if nprng is not None else self.nprng
         if self.train:
             return tr.Compose([
-                tr.RandomHorizontalFlip(self.rng),
+                tr.RandomHorizontalFlip(rng),
                 tr.ColorJitter(brightness=0.5, hue=0.3, contrast=0.2,
-                               saturation=0.2, rng=self.nprng, prng=self.rng),
-                tr.RandomCropP(self.base_size, self.crop_size, self.rng),
-                tr.RandomGaussianBlur(self.rng),
+                               saturation=0.2, rng=nprng, prng=rng),
+                tr.RandomCropP(self.base_size, self.crop_size, rng),
+                tr.RandomGaussianBlur(rng),
                 tr.ToArray(),
             ])
         return tr.Compose([
