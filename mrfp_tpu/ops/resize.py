@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,13 +44,43 @@ def _nearest_idx_from_size(in_size: int, out_size: int) -> np.ndarray:
     return np.clip(idx.astype(np.int64), 0, in_size - 1)
 
 
+def _onehot_matrix(idx: np.ndarray, in_size: int) -> np.ndarray:
+    """(out, in) selection matrix: row o has a single 1 at column idx[o]."""
+    P = np.zeros((len(idx), in_size), np.float32)
+    P[np.arange(len(idx)), idx] = 1.0
+    return P
+
+
+def _take_rows(x: jnp.ndarray, idx: np.ndarray, axis: int,
+               impl: str) -> jnp.ndarray:
+    """Gather rows along a spatial axis, either as an XLA gather or as a
+    one-hot matmul. The matmul form is exact (single 1 per row, so even bf16
+    accumulation is exact) and turns the *backward* pass into a transposed
+    matmul on the MXU instead of a serialized scatter-add — the scatter is
+    what makes gather-based resizes slow to differentiate on TPU.
+    """
+    if impl == "auto":
+        impl = "matmul" if jax.default_backend() == "tpu" else "gather"
+    if impl == "gather":
+        return jnp.take(x, jnp.asarray(idx), axis=axis)
+    in_size = x.shape[axis]
+    P = jnp.asarray(_onehot_matrix(idx, in_size), x.dtype)
+    if axis == 1:
+        return jnp.einsum("oh,nhwc->nowc", P, x)
+    if axis == 2:
+        return jnp.einsum("ow,nhwc->nhoc", P, x)
+    raise ValueError(axis)
+
+
 def resize_nearest(x: jnp.ndarray,
                    size: Optional[Tuple[int, int]] = None,
-                   scale: Optional[Tuple[float, float]] = None) -> jnp.ndarray:
+                   scale: Optional[Tuple[float, float]] = None,
+                   impl: str = "auto") -> jnp.ndarray:
     """Nearest resize of NHWC ``x`` matching torch F.interpolate defaults.
 
     Exactly one of ``size`` / ``scale`` must be given; the source-index rule
-    differs between the two (see module docstring).
+    differs between the two (see module docstring). ``impl``: 'gather',
+    'matmul' (one-hot MXU form, identical values), or 'auto'.
     """
     if (size is None) == (scale is None):
         raise ValueError("pass exactly one of size= or scale=")
@@ -62,8 +93,8 @@ def resize_nearest(x: jnp.ndarray,
             return x
         iy = _nearest_idx_from_size(h, size[0])
         ix = _nearest_idx_from_size(w, size[1])
-    x = jnp.take(x, jnp.asarray(iy), axis=1)
-    x = jnp.take(x, jnp.asarray(ix), axis=2)
+    x = _take_rows(x, iy, 1, impl)
+    x = _take_rows(x, ix, 2, impl)
     return x
 
 
@@ -79,11 +110,13 @@ def _bilinear_ac_weights(in_size: int, out_size: int):
     return idx0, idx1, frac
 
 
-def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int],
+                                  impl: str = "auto") -> jnp.ndarray:
     """Bilinear align_corners=True resize of NHWC ``x`` (mynn.py Upsample).
 
-    Separable two-tap lerp along H then W. The lerp runs in the input dtype
-    (bf16-safe: weights are exact fp32 constants, cast at the multiply).
+    Separable two-tap lerp along H then W; the taps are one-hot selections
+    (exact in any dtype) so the 'matmul' impl produces values identical to
+    'gather' while differentiating as matmuls.
     """
     h, w = x.shape[1], x.shape[2]
     oh, ow = int(size[0]), int(size[1])
@@ -93,11 +126,11 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.
     if h != oh:
         i0, i1, f = _bilinear_ac_weights(h, oh)
         f = jnp.asarray(f, dtype)[None, :, None, None]
-        x = jnp.take(x, jnp.asarray(i0), axis=1) * (1 - f) + \
-            jnp.take(x, jnp.asarray(i1), axis=1) * f
+        x = _take_rows(x, i0, 1, impl) * (1 - f) + \
+            _take_rows(x, i1, 1, impl) * f
     if w != ow:
         i0, i1, f = _bilinear_ac_weights(w, ow)
         f = jnp.asarray(f, dtype)[None, None, :, None]
-        x = jnp.take(x, jnp.asarray(i0), axis=2) * (1 - f) + \
-            jnp.take(x, jnp.asarray(i1), axis=2) * f
+        x = _take_rows(x, i0, 2, impl) * (1 - f) + \
+            _take_rows(x, i1, 2, impl) * f
     return x

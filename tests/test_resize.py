@@ -67,6 +67,30 @@ def test_bilinear_align_corners(hw, out):
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("hw,out", [((48, 48), (24, 24)), ((33, 57), (40, 69))])
+def test_matmul_impl_identical_nearest(hw, out):
+    x = _rand(2, *hw, 5)
+    g = resize_nearest(jnp.asarray(x), size=out, impl="gather")
+    m = resize_nearest(jnp.asarray(x), size=out, impl="matmul")
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(m))
+
+
+@pytest.mark.parametrize("hw,out", [((12, 12), (48, 48)), ((48, 48), (13, 29))])
+def test_matmul_impl_identical_bilinear(hw, out):
+    x = _rand(2, *hw, 4)
+    g = resize_bilinear_align_corners(jnp.asarray(x), out, impl="gather")
+    m = resize_bilinear_align_corners(jnp.asarray(x), out, impl="matmul")
+    np.testing.assert_allclose(np.asarray(g), np.asarray(m), atol=1e-6)
+
+
+def test_matmul_impl_identical_bf16():
+    x = jnp.asarray(_rand(1, 24, 24, 8)).astype(jnp.bfloat16)
+    g = resize_nearest(x, scale=(1.205, 1.205), impl="gather")
+    m = resize_nearest(x, scale=(1.205, 1.205), impl="matmul")
+    np.testing.assert_array_equal(np.asarray(g.astype(jnp.float32)),
+                                  np.asarray(m.astype(jnp.float32)))
+
+
 def test_oc_chain_sizes_768():
     """The full OC size chain for a 768x768 input (deepv3.py:320-327)."""
     h = w = 768
