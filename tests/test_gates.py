@@ -1,0 +1,54 @@
+"""Perturbation gate semantics (deepv3.py:290-357): each gate toggles exactly
+its own effect; all-off equals the unperturbed train forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mrfp_tpu.models import MRFP, PerturbArgs
+from mrfp_tpu.perturb import oc_init
+
+
+def _setup():
+    model = MRFP(trunk="resnet-18", variant="D32", hrfp_plus=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
+                    jnp.float32)
+    vs = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    oc = oc_init(jax.random.PRNGKey(1))
+    return model, x, vs, oc
+
+
+def _fwd(model, vs, x, pa):
+    out, _ = model.apply(vs, x, train=True, perturb=pa,
+                         mutable=["batch_stats"])
+    return np.asarray(out["logits"])
+
+
+def _pa(oc, o=False, n=False, d=False):
+    return PerturbArgs(gate_oc=jnp.array(o), gate_np=jnp.array(n),
+                       gate_dec=jnp.array(d),
+                       key_np0=jax.random.PRNGKey(2),
+                       key_np1=jax.random.PRNGKey(3), oc_params=oc)
+
+
+def test_all_gates_off_equals_plain():
+    model, x, vs, oc = _setup()
+    plain = _fwd(model, vs, x, None)
+    gated = _fwd(model, vs, x, _pa(oc))
+    np.testing.assert_allclose(gated, plain, atol=1e-5, rtol=1e-5)
+
+
+def test_each_gate_changes_output():
+    model, x, vs, oc = _setup()
+    base = _fwd(model, vs, x, _pa(oc))
+    for kw in ({"o": True}, {"n": True}, {"d": True}):
+        out = _fwd(model, vs, x, _pa(oc, **kw))
+        assert not np.allclose(out, base, atol=1e-4), f"gate {kw} had no effect"
+
+
+def test_eval_ignores_perturb():
+    model, x, vs, oc = _setup()
+    e1 = model.apply(vs, x, train=False, mutable=False)["logits"]
+    e2 = model.apply(vs, x, train=False, perturb=_pa(oc, o=True, n=True, d=True),
+                     mutable=False)["logits"]
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
