@@ -22,10 +22,16 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     """
     labels = labels.astype(jnp.int32)
     valid = labels != ignore_index
-    safe = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    nll = jnp.where(valid, nll, 0.0)
+    logits_f = logits.astype(jnp.float32)
+    # NLL as logsumexp - selected logit; the selection is a one-hot masked
+    # sum, NOT take_along_axis — a per-pixel gather lowers to a serialized
+    # TPU gather that costs more than the whole backbone forward (profiled
+    # at 72 ms/step for 8x768x768)
+    lse = jax.nn.logsumexp(logits_f, axis=-1)
+    classes = jnp.arange(logits.shape[-1], dtype=jnp.int32)
+    true_logit = jnp.sum(
+        jnp.where(labels[..., None] == classes, logits_f, 0.0), axis=-1)
+    nll = jnp.where(valid, lse - true_logit, 0.0)
     count = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / count
 
