@@ -367,6 +367,88 @@ class PHOT:
                 "label": sample["label"]}
 
 
+# --- extended single-image transforms (transforms/transforms.py:126-182) ---
+# The reference versions use skimage (gaussian / random_noise /
+# denoise_bilateral); this environment has scipy, so the filters are
+# reproduced with scipy.ndimage / numpy with the same parameter conventions.
+
+
+class FreeScale:
+    def __init__(self, size, interpolation=Image.BILINEAR):
+        self.size = tuple(reversed(size))  # (h, w) -> PIL (w, h)
+        self.interpolation = interpolation
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        return img.resize(self.size, self.interpolation)
+
+
+class FlipChannels:
+    """RGB -> BGR (transforms.py:146-152)."""
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        return Image.fromarray(np.array(img)[:, :, ::-1].astype(np.uint8))
+
+
+class RandomGaussianBlurImg:
+    """sigma ~ U(0.15, 1.30) channel-wise gaussian on a 0..1 image,
+    rescaled to 0..255 (transforms.py:155-163)."""
+
+    def __init__(self, rng: Optional[_random.Random] = None):
+        self.rng = rng or _random
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        from scipy.ndimage import gaussian_filter
+        sigma = 0.15 + self.rng.random() * 1.15
+        arr = np.asarray(img, np.float32) / 255.0
+        out = np.stack([gaussian_filter(arr[..., c], sigma, mode="nearest")
+                        for c in range(arr.shape[-1])], axis=-1)
+        return Image.fromarray((out * 255).astype(np.uint8))
+
+
+class RandomGaussianNoise:
+    """skimage random_noise(mode='gaussian') equivalent: x/255 + N(0, 0.01),
+    clipped (transforms.py:165-170)."""
+
+    def __init__(self, rng: Optional[np.random.Generator] = None):
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        arr = np.asarray(img, np.float32) / 255.0
+        out = np.clip(arr + self.rng.normal(0, 0.1, arr.shape), 0, 1)
+        return Image.fromarray((out * 255).astype(np.uint8))
+
+
+class RandomBilateralBlur:
+    """Bilateral filter with sigma_spatial ~ U(0.05, 0.75)
+    (transforms.py:172-182); windowed numpy implementation."""
+
+    def __init__(self, rng: Optional[_random.Random] = None,
+                 sigma_color: float = 0.1, radius: int = 2):
+        self.rng = rng or _random
+        self.sigma_color = sigma_color
+        self.radius = radius
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        sigma_s = self.rng.uniform(0.05, 0.75)
+        arr = np.asarray(img, np.float32) / 255.0
+        r = self.radius
+        pad = np.pad(arr, ((r, r), (r, r), (0, 0)), mode="edge")
+        h, w, _ = arr.shape
+        num = np.zeros_like(arr)
+        den = np.zeros((h, w, 1), np.float32)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                shifted = pad[r + dy:r + dy + h, r + dx:r + dx + w]
+                ws = np.exp(-(dy * dy + dx * dx) / (2 * max(sigma_s, 1e-3) ** 2))
+                wc = np.exp(-np.sum((shifted - arr) ** 2, -1, keepdims=True)
+                            / (2 * self.sigma_color ** 2))
+                weight = ws * wc
+                num += weight * shifted
+                den += weight
+        out = num / np.maximum(den, 1e-8)
+        return Image.fromarray((out * 255).astype(np.uint8))
+
+
 def _fft_mask(img: np.ndarray, r: int, highpass: bool) -> np.ndarray:
     h, w = img.shape[0], img.shape[1]
     f = np.fft.fftshift(np.fft.fftn(img))

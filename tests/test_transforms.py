@@ -89,6 +89,20 @@ def test_fft_transforms_shapes():
         assert out["image"].dtype == np.float32
 
 
+def test_extended_image_transforms():
+    import random
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (24, 32, 3), dtype=np.uint8))
+    assert tr.FreeScale((16, 20))(img).size == (20, 16)
+    flipped = np.asarray(tr.FlipChannels()(img))
+    np.testing.assert_array_equal(flipped, np.asarray(img)[:, :, ::-1])
+    for T in (tr.RandomGaussianBlurImg(random.Random(0)),
+              tr.RandomGaussianNoise(np.random.default_rng(0)),
+              tr.RandomBilateralBlur(random.Random(0))):
+        out = T(img)
+        assert out.size == img.size and out.mode == "RGB"
+
+
 def test_loader_batching_and_shuffle_determinism():
     ds = SyntheticDataset(length=10, hw=(16, 16))
     dl = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=42)
