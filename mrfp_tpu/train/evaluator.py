@@ -53,12 +53,12 @@ class SegEvaluator:
         self.num_classes = num_classes
         self.bucket = bucket
         self.strict_pairs = strict_pairs
-        self._step = jax.jit(self._hist_step, static_argnums=())
+        # params flow as jit arguments (a closure would bake them into the
+        # executable as constants — one compile per evaluator, no donation)
+        self._step = jax.jit(self._hist_step)
 
-    def _hist_step(self, hist, image, label):
-        out = self.model.apply(
-            {"params": self.params, "batch_stats": self.batch_stats},
-            image, train=False, mutable=False)
+    def _hist_step(self, variables, hist, image, label):
+        out = self.model.apply(variables, image, train=False, mutable=False)
         pred = jnp.argmax(out["logits"], axis=-1)
         if jax.default_backend() == "tpu":
             # one-hot MXU matmuls: ~5x faster than the scatter on full-res
@@ -83,7 +83,9 @@ class SegEvaluator:
                 w = min(img.shape[1], lbl.shape[1])
                 img, lbl = img[:h, :w], lbl[:h, :w]
             img, lbl = pad_to_bucket(img, lbl, self.bucket)
-            hist = self._step(hist, img[None], lbl[None])
+            hist = self._step(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                hist, img[None], lbl[None])
         hist_np = np.asarray(jax.device_get(hist)).astype(np.int64)
         result = evaluate_hist(hist_np, dataset_name=getattr(dataset, "name", "?"),
                                id2cat=getattr(dataset, "id2cat", None), log=log)
