@@ -16,12 +16,33 @@ from typing import Dict, Iterator, Optional, Sequence
 import numpy as np
 
 
+_WORKER_DATASET = None
+
+
+def _proc_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _proc_load(idxs):
+    import numpy as _np
+    samples = [_WORKER_DATASET[int(i)] for i in idxs]
+    return {"image": _np.stack([s["image"] for s in samples]).astype(_np.float32),
+            "label": _np.stack([s["label"] for s in samples]).astype(_np.int32)}
+
+
 class DataLoader:
-    """Minimal torch-free loader: shuffle, batch, drop_last, prefetch."""
+    """Minimal torch-free loader: shuffle, batch, drop_last, prefetch.
+
+    worker_mode 'thread' (default; PIL's C paths release the GIL) or
+    'process' (spawned pool — full parallelism for numpy-heavy pipelines;
+    workers import only data modules, never jax, so they stay lightweight).
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = True,
-                 prefetch: int = 4, seed: int = 0):
+                 prefetch: int = 4, seed: int = 0,
+                 worker_mode: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -29,7 +50,22 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.seed = seed
+        self.worker_mode = worker_mode
         self._epoch = 0
+        self._pool = None
+
+    def _get_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(self.num_workers, initializer=_proc_init,
+                                  initargs=(self.dataset,))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
 
     def __len__(self):
         n = len(self.dataset)
@@ -46,6 +82,9 @@ class DataLoader:
                 for i in range(nb)]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.worker_mode == "process":
+            yield from self._iter_process()
+            return
         batches = self._index_batches()
         self._epoch += 1
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -93,6 +132,19 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+
+
+    def _iter_process(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._index_batches()
+        self._epoch += 1
+        pool = self._get_pool()
+        pending = []
+        for b in batches:
+            pending.append(pool.apply_async(_proc_load, (list(map(int, b)),)))
+            while len(pending) > self.prefetch:
+                yield pending.pop(0).get()
+        for r in pending:
+            yield r.get()
 
 
 def prefetch_to_device(iterator, mesh=None, size: int = 2):

@@ -113,3 +113,18 @@ def test_loader_batching_and_shuffle_determinism():
     dl2 = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=42)
     b2 = list(dl2)
     np.testing.assert_array_equal(batches[0]["image"], b2[0]["image"])
+
+
+def test_loader_process_mode_matches_thread_mode():
+    ds = SyntheticDataset(length=8, hw=(16, 16))
+    dt = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=7)
+    dp = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=7,
+                    worker_mode="process")
+    bt, bp = list(dt), list(dp)
+    try:
+        assert len(bt) == len(bp)
+        for a, b in zip(bt, bp):
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["label"], b["label"])
+    finally:
+        dp.close()
