@@ -93,6 +93,71 @@ class SegEvaluator:
         return result
 
 
+class SlidingEvaluator(SegEvaluator):
+    """Tile-based inference: every image is cut into fixed crop_size windows
+    (data.joint_transforms.SlidingCrop geometry), the jitted forward runs at
+    ONE compiled shape regardless of domain, and per-tile logits are averaged
+    back into a full-resolution map. Trades a little overlap compute for
+    zero shape-bucket recompiles on mixed-size eval sweeps."""
+
+    def __init__(self, model, params, batch_stats, num_classes: int = 19,
+                 crop_size: int = 1024, stride_rate: float = 2 / 3,
+                 strict_pairs: bool = True):
+        super().__init__(model, params, batch_stats, num_classes,
+                         bucket=crop_size, strict_pairs=strict_pairs)
+        self.crop_size = crop_size
+        self.stride_rate = stride_rate
+        self._logits = jax.jit(self._logits_step)
+
+    def _logits_step(self, variables, image):
+        out = self.model.apply(variables, image, train=False, mutable=False)
+        return out["logits"]
+
+    def _predict_full(self, img: np.ndarray) -> np.ndarray:
+        cs = self.crop_size
+        h, w = img.shape[:2]
+        stride = int(math.ceil(cs * self.stride_rate))
+        ys = list(range(0, max(h - cs, 0) + 1, stride)) or [0]
+        xs = list(range(0, max(w - cs, 0) + 1, stride)) or [0]
+        if ys[-1] + cs < h:
+            ys.append(h - cs)
+        if xs[-1] + cs < w:
+            xs.append(w - cs)
+        acc = np.zeros((h, w, self.num_classes), np.float32)
+        cnt = np.zeros((h, w, 1), np.float32)
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        for sy in ys:
+            for sx in xs:
+                sy2, sx2 = max(0, min(sy, h - cs)), max(0, min(sx, w - cs))
+                tile = np.zeros((cs, cs, img.shape[-1]), np.float32)
+                ey, ex = min(sy2 + cs, h), min(sx2 + cs, w)
+                tile[:ey - sy2, :ex - sx2] = img[sy2:ey, sx2:ex]
+                logits = np.asarray(self._logits(variables, tile[None]))[0]
+                acc[sy2:ey, sx2:ex] += logits[:ey - sy2, :ex - sx2]
+                cnt[sy2:ey, sx2:ex] += 1
+        return np.argmax(acc / np.maximum(cnt, 1), axis=-1).astype(np.int32)
+
+    def run(self, dataset, max_images: Optional[int] = None,
+            log=print) -> Dict[str, object]:
+        from mrfp_tpu.ops.hist import fast_hist
+        hist = np.zeros((self.num_classes, self.num_classes), np.int64)
+        dropped = 0
+        n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        for i in range(n):
+            sample = dataset[i]
+            img = np.asarray(sample["image"], np.float32)
+            lbl = np.asarray(sample["label"], np.int32)
+            if img.shape[:2] != lbl.shape:
+                dropped += 1
+                continue
+            pred = self._predict_full(img)
+            hist += fast_hist(pred, lbl, self.num_classes)
+        result = evaluate_hist(hist, dataset_name=getattr(dataset, "name", "?"),
+                               id2cat=getattr(dataset, "id2cat", None), log=log)
+        result["dropped"] = dropped
+        return result
+
+
 def evaluate_hist(hist: np.ndarray, dataset_name: str = "?",
                   id2cat=None, log=print) -> Dict[str, object]:
     """metrics.evaluate_eval/print_evaluate_results (metrics.py:60-120):

@@ -30,6 +30,37 @@ def test_evaluate_hist_matches_reference_formulas():
     assert abs(res["mean_iu"] - np.nanmean(iu)) < 1e-12
 
 
+def test_sliding_evaluator_matches_whole_image_on_small_input():
+    """When the image fits one tile, sliding == whole-image prediction."""
+    from mrfp_tpu.train.evaluator import SlidingEvaluator
+    model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    ev = SlidingEvaluator(model, variables["params"],
+                          variables.get("batch_stats", {}), crop_size=64)
+    ds = SyntheticDataset(length=2, hw=(64, 64))
+    res = ev.run(ds, log=lambda *a, **k: None)
+    assert res["hist"].sum() == 2 * 64 * 64
+    base = SegEvaluator(model, variables["params"],
+                        variables.get("batch_stats", {}), bucket=64)
+    res2 = base.run(ds, log=lambda *a, **k: None)
+    np.testing.assert_array_equal(res["hist"], res2["hist"])
+
+
+def test_sliding_evaluator_tiles_large_input():
+    from mrfp_tpu.train.evaluator import SlidingEvaluator
+    model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    ev = SlidingEvaluator(model, variables["params"],
+                          variables.get("batch_stats", {}), crop_size=64,
+                          stride_rate=0.75)
+    ds = SyntheticDataset(length=1, hw=(96, 130))  # forces 2x3 tiling
+    res = ev.run(ds, log=lambda *a, **k: None)
+    assert res["hist"].sum() == 96 * 130
+    assert 0.0 <= res["mean_iu"] <= 1.0
+
+
 def test_evaluator_runs_and_pads():
     model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7)
     variables = model.init({"params": jax.random.PRNGKey(0)},
