@@ -39,7 +39,7 @@ from mrfp_tpu.nn.resnet import (
 )
 from mrfp_tpu.ops.resize import resize_bilinear_align_corners
 from mrfp_tpu.perturb.np_plus import normalization_perturbation_plus
-from mrfp_tpu.perturb.oc_branch import OCParams, oc_apply
+from mrfp_tpu.perturb.oc_branch import OCParams, oc_decode, oc_encode
 
 _RESNET_BUILDERS = {
     "resnet-18": resnet18,
@@ -118,11 +118,24 @@ class MRFP(nn.Module):
             x_np = normalization_perturbation_plus(
                 perturb.key_np0, xp, self.np_std, self.np_scale)
             feat = jnp.where(perturb.gate_np, x_np, xp)
-            # OC branch also reads xp (deepv3.py:320)
-            ocout, oc_dec = oc_apply(
-                perturb.oc_params, xp, (h, w),
-                self.oc_scales_enc, self.oc_scales_dec,
-                dtype=self.dtype or jnp.float32)
+            # OC branch also reads xp (deepv3.py:320). The reference computes
+            # the whole branch every step and then uses OCout only when p
+            # fires and OCout_dec only when p3 fires; computing the halves
+            # under lax.cond skips the dead work (no observable difference —
+            # the skipped outputs were discarded) and saves ~30% of the OC
+            # FLOPs in expectation at p=p3=0.5.
+            dtype = self.dtype or jnp.float32
+            oc_dec_shape = (xp.shape[0], int(h / 2), int(w / 2), 256)
+            oc_dec = jax.lax.cond(
+                jnp.logical_or(perturb.gate_oc, perturb.gate_dec),
+                lambda: oc_encode(perturb.oc_params, xp, (h, w),
+                                  self.oc_scales_enc, dtype),
+                lambda: jnp.zeros(oc_dec_shape, xp.dtype))
+            ocout = jax.lax.cond(
+                perturb.gate_oc,
+                lambda: oc_decode(perturb.oc_params, oc_dec, (h, w),
+                                  self.oc_scales_dec, dtype),
+                lambda: jnp.zeros(xp.shape, xp.dtype))
             feat = jnp.where(perturb.gate_oc, ocout + feat, feat)
         else:
             feat = xp

@@ -113,30 +113,46 @@ def _stage(p, x, name: str, dtype,
     return _bn_relu(p[name], y)
 
 
+def oc_encode(params: OCParams, xp: jnp.ndarray, hw: Tuple[int, int],
+              scales_enc: Tuple[float, ...] = (1.205, 1.2, 1.2),
+              dtype=jnp.float32) -> jnp.ndarray:
+    """Encoder half: stem features -> OCout_dec (N, int(H/2), int(W/2), 256),
+    the overcomplete bottleneck injected into the decoder (p3 gate)."""
+    h, w = hw
+    half = (int(h / 2), int(w / 2))
+    s = [(se, se) for se in scales_enc]
+    x = _stage(params, xp, "enc1", dtype, scale=s[0])
+    x = _stage(params, x, "enc2", dtype, scale=s[1])
+    x = _stage(params, x, "enc3", dtype, scale=s[2])
+    return _stage(params, x, "enc4", dtype, size=half)
+
+
+def oc_decode(params: OCParams, oc_dec: jnp.ndarray, hw: Tuple[int, int],
+              scales_dec: Tuple[float, ...] = (0.838, 0.798),
+              dtype=jnp.float32) -> jnp.ndarray:
+    """Decoder half: OCout_dec -> OCout (N, ceil(H/4), ceil(W/4), 64), the
+    map added onto the stem features (p gate)."""
+    h, w = hw
+    half = (int(h / 2), int(w / 2))
+    quarter = (math.ceil(h / 4), math.ceil(w / 4))
+    d = [(sd, sd) for sd in scales_dec]
+    x = _stage(params, oc_dec, "dec1", dtype, size=half)
+    x = _stage(params, x, "dec2", dtype, scale=d[0])
+    x = _stage(params, x, "dec3", dtype, scale=d[1])
+    return _stage(params, x, "dec4", dtype, size=quarter)
+
+
 def oc_apply(params: OCParams, xp: jnp.ndarray, hw: Tuple[int, int],
              scales_enc: Tuple[float, ...] = (1.205, 1.2, 1.2),
              scales_dec: Tuple[float, ...] = (0.838, 0.798),
              dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Run the OC branch on stem features ``xp`` (N, ~H/4, ~W/4, 64).
+    """Run the full OC branch on stem features ``xp`` (N, ~H/4, ~W/4, 64).
 
     Returns (OCout, OCout_dec):
       OCout     (N, ceil(H/4), ceil(W/4), 64) — added to stem features (p gate)
       OCout_dec (N, int(H/2), int(W/2), 256)  — decoder injection (p3 gate)
     where (H, W) = ``hw`` is the *network input* size (deepv3.py:285-286).
     """
-    h, w = hw
-    half = (int(h / 2), int(w / 2))
-    quarter = (math.ceil(h / 4), math.ceil(w / 4))
-
-    s = [(se, se) for se in scales_enc]
-    d = [(sd, sd) for sd in scales_dec]
-
-    x = _stage(params, xp, "enc1", dtype, scale=s[0])
-    x = _stage(params, x, "enc2", dtype, scale=s[1])
-    x = _stage(params, x, "enc3", dtype, scale=s[2])
-    oc_dec = _stage(params, x, "enc4", dtype, size=half)
-    x = _stage(params, oc_dec, "dec1", dtype, size=half)
-    x = _stage(params, x, "dec2", dtype, scale=d[0])
-    x = _stage(params, x, "dec3", dtype, scale=d[1])
-    x = _stage(params, x, "dec4", dtype, size=quarter)
+    oc_dec = oc_encode(params, xp, hw, scales_enc, dtype)
+    x = oc_decode(params, oc_dec, hw, scales_dec, dtype)
     return x, oc_dec
