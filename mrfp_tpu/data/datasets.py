@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import random as _random
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 from PIL import Image

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 import random as _random
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence
 
 import numpy as np
 from PIL import Image

@@ -14,7 +14,7 @@ resampling kernels and probability semantics, with two deliberate changes:
 from __future__ import annotations
 
 import random as _random
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageFilter, ImageOps

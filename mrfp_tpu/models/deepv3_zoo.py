@@ -30,7 +30,7 @@ from mrfp_tpu.nn.resnet import (
 )
 from mrfp_tpu.nn.seresnext import se_resnext50_32x4d, se_resnext101_32x4d
 from mrfp_tpu.nn.shufflenet import ShuffleNetV2
-from mrfp_tpu.ops.resize import resize_bilinear_align_corners, resize_nearest
+from mrfp_tpu.ops.resize import resize_bilinear_align_corners
 from mrfp_tpu.train.losses import instance_whitening_loss
 
 # trunk -> (builder kind, per-slot channel dims for the cov machinery,

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from mrfp_tpu.nn.deeplab import ASPP, DSNHead, DeepLabDecoder
 from mrfp_tpu.nn.layers import conv2d, kaiming_fan_in
 from mrfp_tpu.nn.resnet import (
-    ResNet,
     resnet18,
     resnet34,
     resnet50,

@@ -5,7 +5,6 @@ parity as a jax.custom_vjp."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 @jax.custom_vjp

@@ -13,7 +13,7 @@ m.stride == (2,2)).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

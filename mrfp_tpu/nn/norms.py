@@ -18,7 +18,7 @@ gradient all-reduce the reference hand-writes in SyncMeanCov.backward.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

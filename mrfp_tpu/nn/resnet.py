@@ -16,12 +16,12 @@ resnet-101 uses the deep 3x3x3 stem (ResNet3X3, Resnet.py:338-512).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mrfp_tpu.nn.layers import conv2d, kaiming_fan_out, max_pool_3x3_s2
+from mrfp_tpu.nn.layers import conv2d, max_pool_3x3_s2
 from mrfp_tpu.nn.norms import BatchNorm, apply_iw, make_iw_layer
 
 # variant -> {stage_index (0-based): (stride, dilation)} overrides

@@ -9,7 +9,7 @@ bottlenecks (wider_resnet.py:333-338).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

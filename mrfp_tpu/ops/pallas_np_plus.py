@@ -11,8 +11,6 @@ jax.random path that keeps runs bitwise reproducible (core/rng.py).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

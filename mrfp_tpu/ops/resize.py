@@ -19,7 +19,7 @@ fuses with surrounding elementwise work.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,9 +14,8 @@ and the RobustNet best/last rotation (utils/misc.py:162-231) with:
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import logging
 import math
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

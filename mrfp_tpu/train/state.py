@@ -8,7 +8,7 @@ reference, deepv3.py:221-237).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import flax.struct
 import jax

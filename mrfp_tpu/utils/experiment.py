@@ -10,12 +10,11 @@ trivially importable into TB offline).
 
 from __future__ import annotations
 
-import dataclasses
 import datetime
 import json
 import logging
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 
 def make_exp_name(cfg) -> str:

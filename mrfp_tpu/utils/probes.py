@@ -9,8 +9,6 @@ reference's dump-to-txt pattern, but works on any pytree of features.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
