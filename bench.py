@@ -67,7 +67,7 @@ def main():
         state, metrics = jtrain(state, images, labels)
     _ = float(metrics["loss"])
 
-    iters = 20
+    iters = 40
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = jtrain(state, images, labels)
