@@ -30,6 +30,9 @@ def main():
     # train step is paid once per machine, not per bench run
     jax.config.update("jax_compilation_cache_dir", "/tmp/mrfp_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # rbg PRNG: ~2.5% faster step (the in-graph OC re-init draws 3.7M
+    # normals); still fully deterministic per (key, step)
+    jax.config.update("jax_default_prng_impl", "rbg")
 
     from mrfp_tpu.core.config import Config
     from mrfp_tpu.models import MRFP
