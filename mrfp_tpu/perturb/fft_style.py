@@ -50,3 +50,13 @@ def phot(img: jnp.ndarray) -> jnp.ndarray:
     f = jnp.fft.fftn(img)
     out = jnp.fft.ifftn(f / jnp.abs(f))
     return jnp.real(out * 5 * 255).astype(jnp.float32)
+
+
+def apply_freq_transform(images: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """Batched on-device frequency transform for NHWC image batches —
+    the in-graph equivalent of putting HPF/LPF/PHOT in the data pipeline
+    (BASELINE.json config 2: FFT amplitude-perturbation train step)."""
+    import jax
+
+    fn = {"hpf": hpf, "lpf": lpf, "phot": phot}[kind]
+    return jax.vmap(fn)(images)

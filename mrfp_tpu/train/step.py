@@ -36,6 +36,12 @@ def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
     keys = step_keys(state.base_key, state.step)
     pc = cfg.perturb
 
+    if cfg.data.freq_transform:
+        # in-graph HPF/LPF/PHOT on the batch (dataloaders.py:24-79 done
+        # device-side; XLA FFT instead of a host numpy pass)
+        from mrfp_tpu.perturb.fft_style import apply_freq_transform
+        images = apply_freq_transform(images, cfg.data.freq_transform)
+
     perturb = None
     oc_params = state.oc_params
     if pc.enabled and oc_params is not None:
