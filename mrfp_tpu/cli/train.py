@@ -88,10 +88,15 @@ def main():
         dataset = SyntheticDataset(length=args.batch_size * 8,
                                    hw=(args.crop_size, args.crop_size))
     else:
-        ds_cls = DATASETS[args.source]
-        dataset = ds_cls(root=args.data_root, split=TRAIN_SPLITS[args.source],
-                         train=True, base_size=cfg.data.base_size,
-                         crop_size=cfg.data.crop_size, seed=args.seed)
+        from mrfp_tpu.data.datasets import ConcatDataset
+        # '+'-joined sources concatenate (main.py:821 GTAV+SYNTHIA)
+        parts = []
+        for src in args.source.split("+"):
+            ds_cls = DATASETS[src]
+            parts.append(ds_cls(root=args.data_root, split=TRAIN_SPLITS[src],
+                                train=True, base_size=cfg.data.base_size,
+                                crop_size=cfg.data.crop_size, seed=args.seed))
+        dataset = parts[0] if len(parts) == 1 else ConcatDataset(parts)
     loader = DataLoader(dataset, batch_size=cfg.data.batch_size, shuffle=True,
                         num_workers=cfg.data.num_workers, seed=args.seed)
 
