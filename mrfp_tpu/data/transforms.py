@@ -307,8 +307,11 @@ class ColorJitter:
             return img
         h, s, v = img.convert("HSV").split()
         np_h = np.array(h, dtype=np.uint8)
+        # uint8 wraparound handles the cyclic hue shift; modern numpy rejects
+        # negative np.uint8(...) scalars, so wrap explicitly (the reference's
+        # np.uint8(factor*255) relied on numpy<2 cast semantics)
         with np.errstate(over="ignore"):
-            np_h += np.uint8(factor * 255)
+            np_h += np.uint8(int(factor * 255) & 0xFF)
         return Image.merge("HSV", (Image.fromarray(np_h, "L"), s, v)) \
             .convert(img.mode)
 

@@ -1,0 +1,152 @@
+"""Integration: dataset classes against fake on-disk trees with the exact
+directory layouts / filename rules of each domain (main.py:54-783)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mrfp_tpu.data.datasets import (
+    BDD100k,
+    Cityscapes,
+    ConcatDataset,
+    FoggyCityscapes,
+    GTAV,
+    Mapillary,
+    RainyCityscapes,
+    Synthia,
+)
+
+
+def _png(path, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def _rgb(seed=0, h=48, w=64):
+    return np.random.default_rng(seed).integers(
+        0, 255, (h, w, 3), dtype=np.uint8)
+
+
+def _ids(seed=1, h=48, w=64, hi=34):
+    return np.random.default_rng(seed).integers(
+        0, hi, (h, w), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def roots(tmp_path_factory):
+    base = tmp_path_factory.mktemp("data")
+
+    cs = base / "cityscapes"
+    _png(str(cs / "leftImg8bit/val/frankfurt/"
+             "frankfurt_000000_000294_leftImg8bit.png"), _rgb())
+    _png(str(cs / "gtFine/val/frankfurt/"
+             "frankfurt_000000_000294_gtFine_labelIds.png"), _ids())
+
+    rc = base / "rainy"
+    _png(str(rc / "leftImg8bit/val/lindau/"
+             "lindau_000000_000019_leftImg8bit.png"), _rgb(2))
+    _png(str(rc / "gtFine_trainvaltest/gtFine/val/lindau/"
+             "lindau_000000_000019_gtFine_labelIds.png"), _ids(2))
+
+    fc = base / "foggy"
+    _png(str(fc / "leftImg8bit_foggy/val/zurich/"
+             "zurich_000000_000019_leftImg8bit_foggy_beta_0.01.png"), _rgb(3))
+    _png(str(fc / "leftImg8bit_foggy/val/zurich/"
+             "zurich_000000_000019_leftImg8bit_foggy_beta_0.005.png"), _rgb(3))
+    _png(str(fc / "gtFine_trainvaltest/gtFine/val/zurich/"
+             "zurich_000000_000019_gtFine_labelIds.png"), _ids(3))
+
+    gt = base / "gtav"
+    _png(str(gt / "images/train/00001.png"), _rgb(4, 96, 128))
+    _png(str(gt / "labels/train/00001.png"), _ids(4, 96, 128, hi=35))
+
+    bdd = base / "bdd"
+    img = Image.fromarray(_rgb(5))
+    os.makedirs(str(bdd / "images/val"), exist_ok=True)
+    img.save(str(bdd / "images/val/0a0a.jpg"))
+    _png(str(bdd / "labels/val/0a0a_train_id.png"),
+         _ids(5, hi=19))  # pre-mapped trainIds
+
+    syn = base / "synthia"
+    _png(str(syn / "RGB/val/000001.png"), _rgb(6))
+    _png(str(syn / "GT/LABELS/val/000001.png"),
+         np.stack([_ids(6, hi=23)] * 3, -1))  # ids in channel 0
+
+    mp = base / "mapillary"
+    os.makedirs(str(mp / "validation/images"), exist_ok=True)
+    Image.fromarray(_rgb(7, 64, 96)).save(
+        str(mp / "validation/images/abc.jpg"))
+    _png(str(mp / "validation/labels/abc.png"), _ids(7, 64, 96, hi=66))
+
+    return {"cityscapes": str(cs), "rainy": str(rc), "foggy": str(fc),
+            "gtav": str(gt), "bdd": str(bdd), "synthia": str(syn),
+            "mapillary": str(mp)}
+
+
+def _check(sample, num_classes=19):
+    img, lbl = sample["image"], sample["label"]
+    assert img.dtype == np.float32 and img.ndim == 3 and img.shape[-1] == 3
+    assert lbl.dtype == np.float32 and lbl.ndim == 2
+    vals = np.unique(lbl.astype(np.int64))
+    assert all(v == 255 or 0 <= v < num_classes for v in vals), vals
+
+
+def test_cityscapes_layout(roots):
+    ds = Cityscapes(root=roots["cityscapes"], split="val", train=False)
+    assert len(ds) == 1
+    _check(ds[0])
+
+
+def test_rainy_layout(roots):
+    ds = RainyCityscapes(root=roots["rainy"], split="val", train=False)
+    _check(ds[0])
+
+
+def test_foggy_layout_both_beta_suffixes(roots):
+    ds = FoggyCityscapes(root=roots["foggy"], split="val", train=False)
+    assert len(ds) == 2  # both beta levels discovered, same label
+    _check(ds[0])
+    _check(ds[1])
+
+
+def test_gtav_train_pipeline(roots):
+    ds = GTAV(root=roots["gtav"], split="train", train=True,
+              base_size=64, crop_size=64)
+    s = ds[0]
+    _check(s)
+    assert s["image"].shape == (64, 64, 3)  # full aug pipeline ran
+    # per-sample RNG determinism: same index -> same crop
+    s2 = ds[0]
+    np.testing.assert_array_equal(s["image"], s2["image"])
+    ds.set_epoch(1)
+    s3 = ds[0]
+    assert not np.array_equal(s["image"], s3["image"])  # epoch-dependent
+
+
+def test_bdd_layout(roots):
+    ds = BDD100k(root=roots["bdd"], split="val", train=False)
+    _check(ds[0])
+
+
+def test_synthia_layout(roots):
+    ds = Synthia(root=roots["synthia"], split="val", train=False)
+    _check(ds[0])
+
+
+def test_mapillary_val_pipeline(roots):
+    ds = Mapillary(root=roots["mapillary"], split="validation", train=False,
+                   eval_size=96)
+    s = ds[0]
+    _check(s)
+    assert s["image"].shape == (96, 96, 3)  # ResizeHeight + CenterCropPad
+
+
+def test_concat(roots):
+    a = Cityscapes(root=roots["cityscapes"], split="val", train=False)
+    b = BDD100k(root=roots["bdd"], split="val", train=False)
+    cat = ConcatDataset([a, b])
+    assert len(cat) == 2
+    _check(cat[0])
+    _check(cat[1])
