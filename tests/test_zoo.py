@@ -44,6 +44,24 @@ def test_variants_change_output_stride(variant):
     assert out["logits"].shape == (1, 64, 64, 19)
 
 
+@pytest.mark.parametrize("trunk", ["mobilenetv2", "shufflenetv2"])
+@pytest.mark.parametrize("variant", ["D", "D16"])
+def test_mobile_trunk_dilation_surgery(trunk, variant):
+    """The stride->dilation conversion keeps final feature resolution at
+    os8 (D) / os16 (D16) for the mobile trunks (network/deepv3.py:194-298)."""
+    import jax as _jax
+    from mrfp_tpu.nn.mobilenet import MobileNetV2
+    from mrfp_tpu.nn.shufflenet import ShuffleNetV2
+    bb = (MobileNetV2 if trunk == "mobilenetv2" else ShuffleNetV2)(
+        variant=variant)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    vs = bb.init({"params": _jax.random.PRNGKey(0)}, x, train=False)
+    feats = bb.apply(vs, x, train=False, mutable=False)
+    os_expected = 8 if variant == "D" else 16
+    # layer4 (conv head) keeps the dilated resolution
+    assert feats["layer4"].shape[1] == 64 // os_expected
+
+
 def test_heavy_trunks_build():
     # init-only for the big ones (keep CI fast); params must materialize
     for trunk in ["resnet-101", "se_resnext-50"]:
