@@ -24,3 +24,4 @@ def eval(gt, pred, num_classes: int = 19) -> float:  # noqa: A001 (reference nam
 
 
 mean_iou = eval
+fast_hist_pasta = fast_hist  # duplicate alias kept by the reference (metrics.py:128-133)
