@@ -109,6 +109,19 @@ def test_cross_entropy_matches_torch():
     assert abs(ours - float(t)) < 1e-6
 
 
+def test_donation_invalidates_old_state():
+    """The train step donates its input state (in-place param update, no HBM
+    spike); the old buffers must be dead afterwards (SURVEY.md §5.2 aliasing
+    check)."""
+    cfg, model, state, images, labels, _ = _tiny_setup(0)
+    jtrain, _ = make_jitted_steps(model, cfg, None)
+    old_params = state.params
+    state, _m = jtrain(state, jnp.asarray(images), jnp.asarray(labels))
+    leaf = jax.tree_util.tree_leaves(old_params)[0]
+    with pytest.raises(RuntimeError):
+        np.asarray(leaf)  # donated buffer: any use must fail loudly
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     fn, args = ge.entry()
