@@ -457,7 +457,10 @@ def _fft_mask(img: np.ndarray, r: int, highpass: bool) -> np.ndarray:
     f = np.fft.fftshift(np.fft.fftn(img))
     cy, cx = h // 2, w // 2
     y, x = np.ogrid[:h, :w]
-    inside = (y - cy) ** 2 + (x - cx) ** 2 <= r * r
-    mask = np.where(inside, 0.0, 1.0) if highpass else np.where(inside, 1.0, 0.0)
+    d2 = (y - cy) ** 2 + (x - cx) ** 2
+    # the reference drops the ring exactly at r^2 from both filters: HPF
+    # zeroes d2 <= r^2 (dataloaders.py:38-39), LPF zeroes d2 >= r^2 (:72-73)
+    mask = np.where(d2 <= r * r, 0.0, 1.0) if highpass \
+        else np.where(d2 < r * r, 1.0, 0.0)
     out = np.fft.ifftn(np.fft.ifftshift(f * mask[..., None]))
     return out.astype(np.float32)  # complex->float keeps the real part

@@ -114,7 +114,9 @@ class DeepV3Plus(nn.Module):
             self.dsn = DSNHead(self.num_classes, dtype=self.dtype, name="dsn")
 
     def __call__(self, x, train: bool = False,
-                 cal_covstat: bool = False) -> Dict[str, Any]:
+                 cal_covstat: bool = False, valid_hw=None) -> Dict[str, Any]:
+        """``valid_hw``: see models.mrfp.MRFP.__call__ — valid extent (input
+        pixels) for masked ASPP pooling under bucket-padded eval."""
         h, w = x.shape[1], x.shape[2]
         w_arr: list = []
         feat = self.backbone.stem(x, w_arr, train)
@@ -130,7 +132,10 @@ class DeepV3Plus(nn.Module):
             # (network/deepv3.py:534-545)
             return {"w_arr": w_arr}
 
-        feat = self.aspp(feat, train)
+        if valid_hw is not None:
+            os_ = variant_os(self.variant)
+            valid_hw = (jnp.asarray(valid_hw, jnp.int32) + os_ - 1) // os_
+        feat = self.aspp(feat, train, valid_hw=valid_hw)
         dec1 = self.decoder(feat, low_level, train)
         main_out = resize_bilinear_align_corners(self.final2(dec1), (h, w))
         out: Dict[str, Any] = {"logits": main_out.astype(jnp.float32),

@@ -105,7 +105,12 @@ class MRFP(nn.Module):
             self.dsn = DSNHead(self.num_classes, dtype=self.dtype, name="dsn")
 
     def __call__(self, x, train: bool = False,
-                 perturb: Optional[PerturbArgs] = None) -> Dict[str, Any]:
+                 perturb: Optional[PerturbArgs] = None,
+                 valid_hw=None) -> Dict[str, Any]:
+        """``valid_hw`` (traced int32 [2], input-pixel coords): valid extent
+        when ``x`` was bottom/right zero-padded to a shape bucket — restricts
+        ASPP's image-level pooling to real pixels (eval protocol parity,
+        main.py:896). None (the default) = the whole image is valid."""
         h, w = x.shape[1], x.shape[2]
         w_arr: list = []
         perturbing = train and perturb is not None
@@ -164,7 +169,10 @@ class MRFP(nn.Module):
         feat = self.backbone.stage(3, feat, w_arr, train)
 
         # --- heads (deepv3.py:347-354) ---
-        feat = self.aspp(feat, train)
+        if valid_hw is not None:
+            os_ = variant_output_stride(self.variant)
+            valid_hw = (jnp.asarray(valid_hw, jnp.int32) + os_ - 1) // os_
+        feat = self.aspp(feat, train, valid_hw=valid_hw)
         dec1 = self.decoder(feat, low_level, train)
 
         # --- final classifier, p3-gated resolution switch (deepv3.py:355-361) ---

@@ -52,17 +52,34 @@ class ConvBNReLU(nn.Module):
 
 
 class ASPP(nn.Module):
-    """Atrous Spatial Pyramid Pooling (deepv3.py:64-126)."""
+    """Atrous Spatial Pyramid Pooling (deepv3.py:64-126).
+
+    ``valid_hw`` (traced int32 [2], in this feature map's coordinates)
+    restricts the image-level pooling to the valid region when the input was
+    bottom/right zero-padded up to a shape bucket (train/evaluator.py). The
+    reference evaluates exact shapes (main.py:896), where the global pool
+    sees only real pixels; without the mask, padded zeros shift the pooled
+    feature that is broadcast to every pixel.
+    """
 
     reduction_dim: int = 256
     output_stride: int = 16
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, valid_hw=None):
         size = (x.shape[1], x.shape[2])
         # image-level features first (deepv3.py:117-122)
-        img = avg_pool_global(x)
+        if valid_hw is None:
+            img = avg_pool_global(x)
+        else:
+            vh = valid_hw[0].astype(jnp.int32)
+            vw = valid_hw[1].astype(jnp.int32)
+            rows = (jnp.arange(x.shape[1]) < vh)[None, :, None, None]
+            cols = (jnp.arange(x.shape[2]) < vw)[None, None, :, None]
+            mask = (rows & cols).astype(x.dtype)
+            img = jnp.sum(x * mask, axis=(1, 2), keepdims=True) / (
+                (vh * vw).astype(x.dtype))
         img = ConvBNReLU(256, 1, dtype=self.dtype, name="img_conv")(img, train)
         img = resize_bilinear_align_corners(img, size)
         outs = [img]

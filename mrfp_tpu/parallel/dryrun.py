@@ -1,0 +1,119 @@
+"""Self-contained multi-chip sharding dry run.
+
+The driver validates the multi-chip path by running ``dryrun_multichip(n)``
+on a single-chip host. Round 1 failed because the dry run inherited the
+ambient ``JAX_PLATFORMS=axon`` (a live TPU tunnel with a libtpu AOT version
+skew) instead of a virtual CPU mesh. The launcher here therefore re-executes
+itself in a subprocess with a forced n-device CPU platform — independent of
+whatever platform the calling process already initialized jax on.
+
+Replaces (as machine-checked evidence) the reference's NCCL substrate:
+process-group rendezvous at main.py:42-52, DDP wrap network/__init__.py:30-38,
+SyncBN/SyncSwitchWhiten cross-replica reductions sync_switchwhiten.py:22-45.
+Here all of those are one jit over a ``jax.sharding.Mesh``; GSPMD inserts the
+grad all-reduce and the global-batch moment reductions.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+def launch(n_devices: int) -> None:
+    """Run the dry run in a subprocess pinned to an n-device CPU platform.
+
+    Never touches jax in the calling process (which may already hold a TPU
+    backend). PYTHONPATH is extended, not overwritten — the environment's
+    plugin registrations must survive.
+    """
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # The environment's sitecustomize registers the TPU plugin at interpreter
+    # startup whenever this var is set, and the registration overrides
+    # JAX_PLATFORMS (jax.config.update('jax_platforms', 'axon,cpu')). The dry
+    # run is CPU-only by design — don't register the plugin at all.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    xla_flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = (
+        f"{xla_flags} --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    pp = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo_root + (os.pathsep + pp if pp else "")
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "mrfp_tpu.parallel.dryrun", str(n_devices)],
+        env=env,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"dryrun_multichip({n_devices}) subprocess failed "
+            f"(rc={proc.returncode})")
+
+
+def run(n_devices: int) -> float:
+    """The dry run body: jit the FULL MRFP+ train step (perturbation gates,
+    OC resampling, NP+ batch statistics, SyncBN via GSPMD) over an n-device
+    mesh, execute one step on tiny shapes, and assert the first-step loss is
+    invariant to device count (n-device mesh vs 1-device mesh).
+
+    Must run in a process whose jax platform really has >= n devices; the
+    mesh itself is asserted to span exactly n.
+    """
+    import jax
+
+    devices = jax.devices()
+    assert len(devices) >= n_devices, (
+        f"platform has {len(devices)} devices, need {n_devices} "
+        f"(platform={jax.default_backend()}); launch() forces this via "
+        f"--xla_force_host_platform_device_count")
+
+    import numpy as np
+    from mrfp_tpu.core.config import Config, MeshConfig
+    from mrfp_tpu.core.mesh import create_mesh, shard_batch
+    from mrfp_tpu.models import MRFP
+    from mrfp_tpu.perturb import oc_init
+    from mrfp_tpu.train import create_train_state, make_jitted_steps
+
+    cfg = Config()
+    model = MRFP(trunk="resnet-50", variant="D16")
+    batch, hw = 2 * n_devices, 64
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((batch, hw, hw, 3)).astype(np.float32)
+    labels = rng.integers(0, 19, (batch, hw, hw)).astype(np.int32)
+
+    def one_step(n: int) -> float:
+        mesh = create_mesh(MeshConfig(), devices[:n])
+        assert mesh.devices.size == n, f"mesh has {mesh.devices.size} != {n}"
+        state = create_train_state(model, cfg.train, (1, hw, hw, 3),
+                                   oc_params=oc_init(jax.random.PRNGKey(1)))
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        imgs, lbls = shard_batch(mesh, (images, labels))
+        assert len(imgs.sharding.device_set) == n, "batch not sharded over mesh"
+        jtrain, _ = make_jitted_steps(model, cfg, mesh)
+        new_state, metrics = jtrain(state, imgs, lbls)
+        loss = float(metrics["loss"])  # fetch = sync (block_until_ready lies
+        # on some backends, CLAUDE.md)
+        assert np.isfinite(loss), "non-finite loss in dry run"
+        del new_state
+        return loss
+
+    loss_n = one_step(n_devices)
+    loss_1 = one_step(1)
+    # device-count invariance: SyncBN/NP+/grad reductions are global-batch,
+    # so sharding must not change the math (SURVEY §2.3 north star)
+    assert abs(loss_n - loss_1) <= 1e-4 * max(1.0, abs(loss_1)), (
+        f"loss not device-count invariant: {n_devices}-dev {loss_n!r} "
+        f"vs 1-dev {loss_1!r}")
+    print(f"dryrun_multichip({n_devices}): loss={loss_n:.6f} "
+          f"(1-dev {loss_1:.6f}) devices={len(devices)} "
+          f"platform={jax.default_backend()} ok")
+    return loss_n
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -19,28 +19,30 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _disk_mask(h: int, w: int, r: int = 16) -> jnp.ndarray:
-    """Boolean mask, True inside the centered radius-r disk (dataloaders.py:34-39)."""
+def _dist2(h: int, w: int) -> jnp.ndarray:
+    """Squared distance from the centered spectrum origin."""
     cy, cx = h // 2, w // 2
     y = jnp.arange(h)[:, None]
     x = jnp.arange(w)[None, :]
-    return (y - cy) ** 2 + (x - cx) ** 2 <= r * r
+    return (y - cy) ** 2 + (x - cx) ** 2
 
 
 def hpf(img: jnp.ndarray, radius: int = 16) -> jnp.ndarray:
-    """High-pass filter an HWC image (dataloaders.py:24-45)."""
+    """High-pass filter an HWC image: zero dist^2 <= r^2 (dataloaders.py:38-39)."""
     h, w = img.shape[0], img.shape[1]
     f = jnp.fft.fftshift(jnp.fft.fftn(img))
-    mask = jnp.where(_disk_mask(h, w, radius), 0.0, 1.0)[:, :, None]
+    mask = jnp.where(_dist2(h, w) <= radius * radius, 0.0, 1.0)[:, :, None]
     out = jnp.fft.ifftn(jnp.fft.ifftshift(f * mask))
     return jnp.real(out).astype(jnp.float32)
 
 
 def lpf(img: jnp.ndarray, radius: int = 16) -> jnp.ndarray:
-    """Low-pass filter an HWC image (dataloaders.py:59-79)."""
+    """Low-pass filter an HWC image: zero dist^2 >= r^2 (dataloaders.py:72-73).
+    NOTE the asymmetry with hpf — the reference drops the ring exactly at
+    r^2 from BOTH filters."""
     h, w = img.shape[0], img.shape[1]
     f = jnp.fft.fftshift(jnp.fft.fftn(img))
-    mask = jnp.where(_disk_mask(h, w, radius), 1.0, 0.0)[:, :, None]
+    mask = jnp.where(_dist2(h, w) < radius * radius, 1.0, 0.0)[:, :, None]
     out = jnp.fft.ifftn(jnp.fft.ifftshift(f * mask))
     return jnp.real(out).astype(jnp.float32)
 

@@ -7,10 +7,16 @@ final histogram crosses to host). Images whose label size differs from the
 image are dropped and counted, exactly like main.py:894,910-911 (a
 ``strict_pairs=False`` escape hatch keeps them instead).
 
-Variable eval shapes (Mapillary widths, BDD 1280x720, Cityscapes 1024x2048)
-would retrace per shape; images are padded up to a bucket grid (multiple of
-``bucket``) with ignore-labels so a handful of compiled programs cover every
-domain. Padded pixels carry label 255 and never touch the histogram.
+Eval shape protocol: by default every image runs at its EXACT native shape,
+like the reference (main.py:896) — one compile per distinct shape, a handful
+per domain (Cityscapes/BDD/SYNTHIA are single-shape). Passing ``bucket=N``
+instead pads images up to a bucket grid so a few compiled programs cover
+mixed-shape sweeps (Mapillary): padded pixels carry label 255 (never touch
+the histogram) and the model's ASPP image pooling is masked to the valid
+region (``valid_hw``) — but conv receptive fields near the padded border
+still see pad garbage instead of a true image edge, so bucketed logits are
+NOT bit-identical to the reference protocol. Use buckets for quick sweeps,
+exact shapes (or SlidingEvaluator) for parity numbers.
 """
 
 from __future__ import annotations
@@ -46,7 +52,7 @@ class SegEvaluator:
     """Streaming per-domain mIoU evaluator."""
 
     def __init__(self, model, params, batch_stats, num_classes: int = 19,
-                 bucket: int = 128, strict_pairs: bool = True):
+                 bucket: Optional[int] = None, strict_pairs: bool = True):
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
@@ -56,15 +62,25 @@ class SegEvaluator:
         # params flow as jit arguments (a closure would bake them into the
         # executable as constants — one compile per evaluator, no donation)
         self._step = jax.jit(self._hist_step)
+        self._step_masked = jax.jit(self._hist_step_masked)
 
-    def _hist_step(self, variables, hist, image, label):
-        out = self.model.apply(variables, image, train=False, mutable=False)
-        pred = jnp.argmax(out["logits"], axis=-1)
+    def _hist_update(self, hist, pred, label):
         if jax.default_backend() == "tpu":
             # one-hot MXU matmuls: ~5x faster than the scatter on full-res
             # images (ops/pallas_hist.py)
             return hist + confusion_matrix_pallas(pred, label, self.num_classes)
         return confusion_matrix_update(hist, pred, label, self.num_classes)
+
+    def _hist_step(self, variables, hist, image, label):
+        out = self.model.apply(variables, image, train=False, mutable=False)
+        pred = jnp.argmax(out["logits"], axis=-1)
+        return self._hist_update(hist, pred, label)
+
+    def _hist_step_masked(self, variables, hist, image, label, valid_hw):
+        out = self.model.apply(variables, image, train=False, mutable=False,
+                               valid_hw=valid_hw)
+        pred = jnp.argmax(out["logits"], axis=-1)
+        return self._hist_update(hist, pred, label)
 
     def run(self, dataset, max_images: Optional[int] = None,
             log=print) -> Dict[str, object]:
@@ -82,10 +98,17 @@ class SegEvaluator:
                 h = min(img.shape[0], lbl.shape[0])
                 w = min(img.shape[1], lbl.shape[1])
                 img, lbl = img[:h, :w], lbl[:h, :w]
-            img, lbl = pad_to_bucket(img, lbl, self.bucket)
-            hist = self._step(
-                {"params": self.params, "batch_stats": self.batch_stats},
-                hist, img[None], lbl[None])
+            variables = {"params": self.params,
+                         "batch_stats": self.batch_stats}
+            if self.bucket is None:
+                # exact-shape protocol (reference main.py:896)
+                hist = self._step(variables, hist, img[None], lbl[None])
+            else:
+                vh, vw = lbl.shape
+                img, lbl = pad_to_bucket(img, lbl, self.bucket)
+                hist = self._step_masked(
+                    variables, hist, img[None], lbl[None],
+                    jnp.asarray([vh, vw], jnp.int32))
         hist_np = np.asarray(jax.device_get(hist)).astype(np.int64)
         result = evaluate_hist(hist_np, dataset_name=getattr(dataset, "name", "?"),
                                id2cat=getattr(dataset, "id2cat", None), log=log)
@@ -182,10 +205,13 @@ def evaluate_hist(hist: np.ndarray, dataset_name: str = "?",
     log("label_id      label    iU    Precision Recall TP     FP    FN")
     total = hist.sum()
     for idx in range(hist.shape[0]):
-        log(f"{idx:2d}    {str(id2cat.get(idx, '')):>13}   "
-            f"{iu[idx] * 100:5.1f}  {precision[idx]:5.1f}     {recall[idx]:5.1f}"
-            f"  {100 * tp[idx] / total:5.1f}  {fp[idx] / max(tp[idx], 1e-12):5.1f}"
-            f"   {fn[idx] / max(tp[idx], 1e-12):5.1f}")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # fp/tp and fn/tp print inf/nan at tp=0, like the reference
+            # (metrics.py:110-113)
+            log(f"{idx:2d}    {str(id2cat.get(idx, '')):>13}   "
+                f"{iu[idx] * 100:5.1f}  {precision[idx]:5.1f}     "
+                f"{recall[idx]:5.1f}  {100 * tp[idx] / total:5.1f}  "
+                f"{fp[idx] / tp[idx]:5.1f}   {fn[idx] / tp[idx]:5.1f}")
     log(f"mean {mean_iu}")
     logging.info("[dataset %s], [acc %.5f], [acc_cls %.5f], [mean_iu %.5f], "
                  "[fwavacc %.5f]", dataset_name, acc, acc_cls, mean_iu, fwavacc)

@@ -61,6 +61,68 @@ def test_sliding_evaluator_tiles_large_input():
     assert 0.0 <= res["mean_iu"] <= 1.0
 
 
+def test_exact_shape_default_matches_direct_apply():
+    """Default protocol = exact native shapes (reference main.py:896):
+    the evaluator's histogram equals a hand-rolled exact-shape forward."""
+    from mrfp_tpu.ops.hist import fast_hist
+    model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    ev = SegEvaluator(model, variables["params"],
+                      variables.get("batch_stats", {}))
+    assert ev.bucket is None  # exact-shape is the default
+    ds = SyntheticDataset(length=2, hw=(40, 52))
+    res = ev.run(ds, log=lambda *a, **k: None)
+    ref = np.zeros((19, 19), np.int64)
+    for i in range(2):
+        s = ds[i]
+        out = model.apply(variables, np.asarray(s["image"], np.float32)[None],
+                          train=False, mutable=False)
+        pred = np.asarray(jnp.argmax(out["logits"], -1))[0]
+        ref += fast_hist(pred, np.asarray(s["label"]), 19)
+    np.testing.assert_array_equal(res["hist"], ref)
+
+
+def test_masked_aspp_pool_matches_exact_under_padding():
+    """With bucket padding, the ASPP image-pool branch (first 256 output
+    channels) must equal the exact-shape pool on the valid region even when
+    the padded area holds garbage (deepv3.py:117-122 pools real pixels only)."""
+    from mrfp_tpu.nn.deeplab import ASPP
+    rng = np.random.default_rng(0)
+    x_exact = rng.standard_normal((1, 5, 7, 16)).astype(np.float32)
+    x_pad = rng.standard_normal((1, 8, 8, 16)).astype(np.float32) * 5.0
+    x_pad[:, :5, :7, :] = x_exact
+    aspp = ASPP(32, output_stride=16)
+    variables = aspp.init({"params": jax.random.PRNGKey(1)},
+                          jnp.asarray(x_exact), train=False)
+    out_exact = aspp.apply(variables, jnp.asarray(x_exact), train=False,
+                           mutable=False)
+    out_pad = aspp.apply(variables, jnp.asarray(x_pad), train=False,
+                         valid_hw=jnp.asarray([5, 7], jnp.int32),
+                         mutable=False)
+    out_pad_unmasked = aspp.apply(variables, jnp.asarray(x_pad), train=False,
+                                  mutable=False)
+    np.testing.assert_allclose(np.asarray(out_pad[:, :5, :7, :256]),
+                               np.asarray(out_exact[..., :256]),
+                               rtol=1e-5, atol=1e-5)
+    # and the unmasked pool really was polluted (the round-1 bug)
+    assert np.abs(np.asarray(out_pad_unmasked[:, :5, :7, :256]) -
+                  np.asarray(out_exact[..., :256])).max() > 1e-3
+
+
+def test_model_valid_hw_full_extent_is_identity():
+    """valid_hw covering the whole image must not change logits."""
+    model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 32, 48, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    a = model.apply(variables, x, train=False, mutable=False)["logits"]
+    b = model.apply(variables, x, train=False, mutable=False,
+                    valid_hw=jnp.asarray([32, 48], jnp.int32))["logits"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_evaluator_runs_and_pads():
     model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7)
     variables = model.init({"params": jax.random.PRNGKey(0)},

@@ -15,6 +15,20 @@ def _img(seed=0, h=32, w=32):
         0, 255, (h, w, 3)).astype(np.float32)
 
 
+def _ref_filter(img: np.ndarray, highpass: bool, r: int = 16) -> np.ndarray:
+    """Bit-for-bit transcription of the reference mask semantics
+    (dataloaders.py:24-45 HPF zeroes d2 <= r^2, :59-79 LPF zeroes d2 >= r^2 —
+    the ring exactly at r^2 is dropped by BOTH filters)."""
+    rows, cols = img.shape[:2]
+    f = np.fft.fftshift(np.fft.fftn(img))
+    x, y = np.ogrid[:rows, :cols]
+    d2 = (x - rows // 2) ** 2 + (y - cols // 2) ** 2
+    m = np.ones((rows, cols, 3), np.float32)
+    m[(d2 <= r * r) if highpass else (d2 >= r * r)] = 0
+    out = np.fft.ifftn(np.fft.ifftshift(f * m))
+    return np.real(out).astype(np.float32)
+
+
 def test_hpf_lpf_match_host():
     img = _img()
     host_h = tr.HPF()({"image": img, "label": None})["image"]
@@ -23,8 +37,14 @@ def test_hpf_lpf_match_host():
                                atol=1e-2)
     np.testing.assert_allclose(np.asarray(lpf(jnp.asarray(img))), host_l,
                                atol=1e-2)
-    # complementary filters reconstruct the image
-    np.testing.assert_allclose(host_h + host_l, img, atol=1e-2)
+    # both match the reference masks exactly
+    np.testing.assert_allclose(host_h, _ref_filter(img, True), atol=1e-3)
+    np.testing.assert_allclose(host_l, _ref_filter(img, False), atol=1e-3)
+    # the r^2 ring is dropped by both filters, so HPF + LPF loses exactly
+    # the ring energy (it does NOT reconstruct the image; a 32x32 grid has
+    # points at distance exactly 16, e.g. (0,+-16))
+    ring = img - (host_h + host_l)
+    assert np.abs(ring).max() > 1e-3
 
 
 def test_phot_matches_host():
