@@ -46,13 +46,24 @@ class _SegDataset:
     def __init__(self, root: str, split: str, train: bool,
                  base_size: int = 768, crop_size: int = 768,
                  eval_size: int = 1536, seed: int = 0,
-                 freq_transform: Optional[str] = None):
+                 freq_transform: Optional[str] = None,
+                 random_flip: bool = True,
+                 color_jitter=(0.5, 0.2, 0.2, 0.3),
+                 scale_range=(0.5, 2.0),
+                 gaussian_blur: bool = True):
         self.root = root
         self.split = split
         self.train = train
         self.base_size = base_size
         self.crop_size = crop_size
         self.eval_size = eval_size
+        # train-time augmentation knobs (DataConfig; defaults = the
+        # reference's active GTAV pipeline, main.py:410-419).
+        # color_jitter order: (brightness, contrast, saturation, hue)
+        self.random_flip = random_flip
+        self.color_jitter = tuple(color_jitter) if color_jitter else None
+        self.scale_range = tuple(scale_range)
+        self.gaussian_blur = gaussian_blur
         # optional HPF/LPF/PHOT slot (the reference keeps these commented in
         # its pipelines, dataloaders.py:24-79 / main.py:325-327)
         self.freq_transform = freq_transform
@@ -125,31 +136,38 @@ class _SegDataset:
         tail.append(tr.ToArray())
         return tail
 
+    def _aug_head(self, rng, nprng):
+        """Flip + color jitter, honoring the DataConfig knobs."""
+        head = []
+        if self.random_flip:
+            head.append(tr.RandomHorizontalFlip(rng))
+        if self.color_jitter:
+            b, c, s, h = self.color_jitter
+            head.append(tr.ColorJitter(brightness=b, contrast=c, saturation=s,
+                                       hue=h, rng=nprng, prng=rng))
+        return head
+
     # the standard "GTAV-style" train pipeline (main.py:410-419)
     def _train_tf_scalecrop(self, rng=None, nprng=None):
         rng = rng or self.rng
         nprng = nprng if nprng is not None else self.nprng
-        return tr.Compose([
-            tr.RandomHorizontalFlip(rng),
-            tr.ColorJitter(brightness=0.5, hue=0.3, contrast=0.2,
-                           saturation=0.2, rng=nprng, prng=rng),
+        return tr.Compose(self._aug_head(rng, nprng) + [
             tr.RandomSizeAndCrop(self.crop_size, crop_nopad=False,
+                                 scale_min=self.scale_range[0],
+                                 scale_max=self.scale_range[1],
                                  ignore_index=255, pre_size=None, rng=rng),
             tr.Resize(self.crop_size, self.crop_size),
-            tr.RandomGaussianBlur(rng),
-        ] + self._freq_tail())
+        ] + ([tr.RandomGaussianBlur(rng)] if self.gaussian_blur else [])
+            + self._freq_tail())
 
     # the "resize-only" train pipeline (BDD/SYNTHIA/foggy, main.py:319-328)
     def _train_tf_resize(self, rng=None, nprng=None):
         rng = rng or self.rng
         nprng = nprng if nprng is not None else self.nprng
-        return tr.Compose([
-            tr.RandomHorizontalFlip(rng),
-            tr.ColorJitter(brightness=0.5, hue=0.3, contrast=0.2,
-                           saturation=0.2, rng=nprng, prng=rng),
+        return tr.Compose(self._aug_head(rng, nprng) + [
             tr.Resize(self.base_size, self.crop_size),
-            tr.RandomGaussianBlur(rng),
-        ] + self._freq_tail())
+        ] + ([tr.RandomGaussianBlur(rng)] if self.gaussian_blur else [])
+            + self._freq_tail())
 
 
 class Cityscapes(_SegDataset):
@@ -353,6 +371,11 @@ class ConcatDataset:
         self.num_classes = getattr(self.datasets[0], "num_classes", 19)
         self.ignore_index = getattr(self.datasets[0], "ignore_index", 255)
         self.id2cat = getattr(self.datasets[0], "id2cat", None)
+
+    def set_epoch(self, epoch: int):
+        for d in self.datasets:
+            if hasattr(d, "set_epoch"):
+                d.set_epoch(epoch)
 
     def __len__(self):
         return self._len

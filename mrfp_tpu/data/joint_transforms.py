@@ -111,7 +111,9 @@ class ClassUniform:
             return self.crop(img_new, mask_new)
 
         ratio = (float(origw) / w, float(origh) / h)
-        y, x = coords[np.random.randint(len(coords))]
+        # peak choice flows from the injected rng (thread-deterministic),
+        # not the global numpy state
+        y, x = coords[self.rng.randrange(len(coords))]
         y, x = int(y * ratio[0]), int(x * ratio[1])
         wsr = ws * ratio[0]
         cropx = self.rng.uniform(

@@ -42,7 +42,13 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = True,
                  prefetch: int = 4, seed: int = 0,
-                 worker_mode: str = "thread"):
+                 worker_mode: str = "thread",
+                 shard_rank: int = 0, shard_count: int = 1):
+        """``batch_size`` is PER PROCESS; with ``shard_count`` > 1 every
+        process draws the same global shuffle (seed+epoch) and takes its
+        disjoint ``shard_rank`` slice of each global batch — the data-side
+        half of multi-host DP (the reference uses DistributedSampler,
+        main.py:818)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -51,8 +57,18 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.worker_mode = worker_mode
+        self.shard_rank = shard_rank
+        self.shard_count = max(1, shard_count)
         self._epoch = 0
         self._pool = None
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle epoch (resume support: replay the same index
+        order a fresh run would have used at this epoch). Also forwarded to
+        the dataset so per-sample augmentation RNG advances with epochs."""
+        self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _get_pool(self):
         if self._pool is None:
@@ -69,17 +85,18 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else \
-            (n + self.batch_size - 1) // self.batch_size
+        gbs = self.batch_size * self.shard_count
+        return n // gbs if self.drop_last else (n + gbs - 1) // gbs
 
     def _index_batches(self) -> Sequence[Sequence[int]]:
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
-        nb = len(self)
-        return [idx[i * self.batch_size:(i + 1) * self.batch_size]
-                for i in range(nb)]
+        gbs = self.batch_size * self.shard_count
+        lo = self.shard_rank * self.batch_size
+        return [idx[i * gbs + lo:i * gbs + lo + self.batch_size]
+                for i in range(len(self))]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.worker_mode == "process":
@@ -87,11 +104,17 @@ class DataLoader:
             return
         batches = self._index_batches()
         self._epoch += 1
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         task_q: "queue.Queue" = queue.Queue()
         results: Dict[int, Dict[str, np.ndarray]] = {}
         lock = threading.Lock()
         stop = threading.Event()
+        # Backpressure: a worker may only start a batch after acquiring a
+        # slot; the consumer releases one per batch it takes. Buffered +
+        # in-flight batches are bounded by `bound` (~150 MB/batch at bs16
+        # 768^2 — unbounded production can OOM the host on a slow step).
+        bound = max(self.prefetch, self.num_workers)
+        slots = threading.Semaphore(bound)
+        self._peak_buffered = 0
 
         for bi, b in enumerate(batches):
             task_q.put((bi, b))
@@ -107,12 +130,17 @@ class DataLoader:
                     bi, b = task_q.get_nowait()
                 except queue.Empty:
                     return
+                while not slots.acquire(timeout=0.05):
+                    if stop.is_set():
+                        return
                 try:
                     batch = collate([self.dataset[int(i)] for i in b])
                 except Exception as exc:  # surface worker errors to consumer
                     batch = exc
                 with lock:
                     results[bi] = batch
+                    self._peak_buffered = max(self._peak_buffered,
+                                              len(results))
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -127,6 +155,7 @@ class DataLoader:
                             batch = results.pop(bi)
                             break
                     threading.Event().wait(0.002)
+                slots.release()
                 if isinstance(batch, Exception):
                     raise batch
                 yield batch

@@ -163,6 +163,29 @@ class RandomCropP:
         return {"image": img.crop(box), "label": mask.crop(box)}
 
 
+class RandomCropP2:
+    """Plain joint random crop to (crop_sizew, crop_sizeh)
+    (dataloaders.py:236-257, RandomCrop_p2)."""
+
+    def __init__(self, crop_sizew, crop_sizeh,
+                 rng: Optional[_random.Random] = None):
+        self.crop_sizew = crop_sizew
+        self.crop_sizeh = crop_sizeh
+        self.rng = rng or _random
+
+    def __call__(self, sample):
+        img, mask = sample["image"], sample["label"]
+        w, h = img.size
+        x0 = self.rng.randint(0, w - self.crop_sizew)
+        y0 = self.rng.randint(0, h - self.crop_sizeh)
+        box = (x0, y0, x0 + self.crop_sizew, y0 + self.crop_sizeh)
+        return {"image": img.crop(box), "label": mask.crop(box)}
+
+
+# reference-spelled alias
+RandomCrop_p2 = RandomCropP2
+
+
 class RandomCrop:
     """Centroid-aware random crop with pad/nopad (dataloaders.py:257-337)."""
 

@@ -128,3 +128,67 @@ def test_loader_process_mode_matches_thread_mode():
             np.testing.assert_array_equal(a["label"], b["label"])
     finally:
         dp.close()
+
+
+def test_loader_backpressure_bounds_buffered_batches():
+    """Workers must not drain the whole epoch into memory when the consumer
+    is slow (each bs16 768^2 batch is ~150 MB on a real run)."""
+    import time as _time
+    ds = SyntheticDataset(length=64, hw=(8, 8))
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=4,
+                    prefetch=2)
+    n = 0
+    for _ in dl:
+        _time.sleep(0.01)  # slow consumer
+        n += 1
+    assert n == 32
+    bound = max(dl.prefetch, dl.num_workers)
+    assert dl._peak_buffered <= bound, dl._peak_buffered
+
+
+def test_loader_shards_are_disjoint_and_cover_global_batch():
+    """Per-process sharding: same seed -> same global order, rank slices
+    are disjoint and concatenate to the unsharded global batch."""
+    ds = SyntheticDataset(length=16, hw=(8, 8))
+    whole = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                            num_workers=1))
+    r0 = list(DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                         num_workers=1, shard_rank=0, shard_count=2))
+    r1 = list(DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                         num_workers=1, shard_rank=1, shard_count=2))
+    assert len(whole) == len(r0) == len(r1) == 4
+    for w, a, b in zip(whole, r0, r1):
+        np.testing.assert_array_equal(
+            w["image"], np.concatenate([a["image"], b["image"]], axis=0))
+
+
+def test_loader_set_epoch_changes_shuffle_and_reaches_dataset():
+    class Recorder(SyntheticDataset):
+        def __init__(self):
+            super().__init__(length=8, hw=(8, 8))
+            self.epochs = []
+
+        def set_epoch(self, epoch):
+            self.epochs.append(epoch)
+
+    ds = Recorder()
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=0, num_workers=1)
+    dl.set_epoch(0)
+    e0 = list(dl)
+    dl.set_epoch(1)
+    e1 = list(dl)
+    assert ds.epochs == [0, 1]
+    assert not np.array_equal(e0[0]["image"], e1[0]["image"])
+
+
+def test_random_crop_p2():
+    """RandomCrop_p2 (dataloaders.py:236-257): joint (w,h) crop."""
+    import random as _random
+    s = _sample(w=100, h=60)
+    out = tr.RandomCropP2(40, 30, rng=_random.Random(0))(s)
+    assert out["image"].size == (40, 30)
+    assert out["label"].size == (40, 30)
+    # image and label crops stay aligned
+    out2 = tr.RandomCropP2(40, 30, rng=_random.Random(0))(s)
+    np.testing.assert_array_equal(np.asarray(out["image"]),
+                                  np.asarray(out2["image"]))
