@@ -30,9 +30,21 @@ def parse_args():
     p.add_argument("--eval-size", type=int, default=1536)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--synthetic", action="store_true")
-    p.add_argument("--strict-pairs", action="store_true", default=True,
+    p.add_argument("--synthetic-hw", type=int, nargs=2, default=(256, 512),
+                   metavar=("H", "W"),
+                   help="synthetic image size (smoke tests)")
+    p.add_argument("--strict-pairs", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="drop images whose label size mismatches "
-                        "(reference behavior, main.py:894)")
+                        "(reference behavior, main.py:894); "
+                        "--no-strict-pairs crops to the common extent")
+    p.add_argument("--json-out", default=None,
+                   help="also write the results dict to this file")
+    p.add_argument("--bucket", type=int, default=None,
+                   help="pad eval shapes up to multiples of N (fewer "
+                        "compiles for mixed-shape domains; logits deviate "
+                        "near padded borders). Default: exact shapes, the "
+                        "reference protocol")
     return p.parse_args()
 
 
@@ -75,11 +87,12 @@ def main():
     from mrfp_tpu.train.evaluator import SegEvaluator
 
     evaluator = SegEvaluator(model, params, stats,
-                             strict_pairs=args.strict_pairs)
+                             strict_pairs=args.strict_pairs,
+                             bucket=args.bucket)
     results = {}
     for domain in args.domains:
         if args.synthetic:
-            ds = SyntheticDataset(length=4, hw=(256, 512))
+            ds = SyntheticDataset(length=4, hw=tuple(args.synthetic_hw))
             ds.name = domain
         else:
             ds = DATASETS[domain](root=args.data_root,
@@ -90,6 +103,9 @@ def main():
         results[domain] = {"mean_iu": res["mean_iu"], "acc": res["acc"],
                            "fwavacc": res["fwavacc"]}
     print(json.dumps(results, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f)
 
 
 if __name__ == "__main__":

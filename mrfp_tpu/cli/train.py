@@ -9,7 +9,11 @@ Differences from the reference driver, by design:
   only restart manually from *_latest.pth),
 - the input pipeline overlaps with device steps (prefetch_to_device),
 - one flag (--synthetic) runs the full loop with generated data for smoke
-  testing on machines without the datasets.
+  testing on machines without the datasets,
+- mid-training validation (--eval-every) rotates a best-by-mIoU checkpoint
+  like the RobustNet harness (utils/misc.py:139-257),
+- multi-host: jax.distributed bootstrap + per-process batch shards replace
+  the reference's NCCL rendezvous (main.py:42-52) and DistributedSampler.
 """
 
 from __future__ import annotations
@@ -27,7 +31,8 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(description="mrfp_tpu trainer")
     p.add_argument("--source", default="gtav",
-                   help="training domain (gtav|synthia|cityscapes|synthetic)")
+                   help="training domain (gtav|synthia|cityscapes|synthetic; "
+                        "'+'-join to concatenate)")
     p.add_argument("--data-root", default="/data")
     p.add_argument("--synthetic", action="store_true",
                    help="train on generated data (no datasets needed)")
@@ -35,82 +40,135 @@ def parse_args():
     p.add_argument("--variant", default="D16")
     p.add_argument("--mode", default="mrfp+",
                    choices=["mrfp+", "mrfp", "baseline"])
-    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=16,
+                   help="GLOBAL batch size (split across processes)")
     p.add_argument("--crop-size", type=int, default=768)
     p.add_argument("--max-iter", type=int, default=40000)
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--use-dsn", action="store_true",
+                   help="auxiliary DSN head on layer3 (0.4-weighted CE)")
+    p.add_argument("--freq-transform", default=None,
+                   choices=[None, "hpf", "lpf", "phot"],
+                   help="in-graph FFT batch transform (dataloaders.py:24-79)")
     p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run validation every N iters; 0 = off. Feeds the "
+                        "best-by-mIoU checkpoint rotation")
+    p.add_argument("--eval-max-images", type=int, default=None)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--runs-dir", default="./runs")
+    # distributed / mesh (reference main.py:42-52 WORLD_SIZE bootstrap)
+    p.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 (auto-detected on TPU pods)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--data-parallel", type=int, default=-1,
+                   help="mesh data axis size (-1 = all devices)")
+    p.add_argument("--model-parallel", type=int, default=1)
     return p.parse_args()
 
 
 def build_config(args):
-    from mrfp_tpu.core.config import (baseline_config, mrfp_config,
-                                      mrfp_plus_config)
+    from mrfp_tpu.core.config import (MeshConfig, baseline_config,
+                                      mrfp_config, mrfp_plus_config)
     cfg = {"mrfp+": mrfp_plus_config, "mrfp": mrfp_config,
            "baseline": baseline_config}[args.mode]()
     cfg = cfg.replace(
         model=dataclasses.replace(cfg.model, trunk=args.trunk,
-                                  variant=args.variant),
+                                  variant=args.variant,
+                                  use_dsn_aux=args.use_dsn),
         data=dataclasses.replace(cfg.data, source=args.source,
                                  batch_size=args.batch_size,
                                  crop_size=args.crop_size,
-                                 base_size=args.crop_size),
+                                 base_size=args.crop_size,
+                                 freq_transform=args.freq_transform),
         train=dataclasses.replace(cfg.train, max_iter=args.max_iter,
                                   lr=args.lr, seed=args.seed,
                                   checkpoint_every=args.ckpt_every,
                                   log_every=args.log_every),
+        mesh=MeshConfig(data_parallel=args.data_parallel,
+                        model_parallel=args.model_parallel),
     )
     return cfg
 
 
+def build_dataset(args, cfg, train: bool = True):
+    from mrfp_tpu.data.datasets import (DATASETS, TRAIN_SPLITS, VAL_SPLITS,
+                                        ConcatDataset, SyntheticDataset)
+    # '+'-joined sources concatenate (main.py:821 GTAV+SYNTHIA)
+
+    if args.synthetic or args.source == "synthetic":
+        if train:
+            return SyntheticDataset(length=args.batch_size * 8,
+                                    hw=(args.crop_size, args.crop_size))
+        return SyntheticDataset(length=4, hw=(args.crop_size, args.crop_size),
+                                seed=7)
+    parts = []
+    for src in args.source.split("+"):
+        ds_cls = DATASETS[src]
+        splits = TRAIN_SPLITS if train else VAL_SPLITS
+        parts.append(ds_cls(
+            root=args.data_root, split=splits[src], train=train,
+            base_size=cfg.data.base_size, crop_size=cfg.data.crop_size,
+            seed=args.seed,
+            random_flip=cfg.data.random_flip,
+            color_jitter=cfg.data.color_jitter,
+            scale_range=cfg.data.scale_range,
+            gaussian_blur=cfg.data.gaussian_blur))
+        if not train:
+            return parts[0]  # validate on the first source's val split
+    return parts[0] if len(parts) == 1 else ConcatDataset(parts)
+
+
 def main():
     args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    # multi-host bootstrap BEFORE any device query (main.py:42-52 equivalent)
+    from mrfp_tpu.parallel.dist import initialize_distributed
+    multiproc = initialize_distributed(args.coordinator_address,
+                                       args.num_processes, args.process_id)
+
     cfg = build_config(args)
 
-    from mrfp_tpu.core.mesh import create_mesh
-    from mrfp_tpu.data.datasets import DATASETS, TRAIN_SPLITS, SyntheticDataset
+    from mrfp_tpu.core.mesh import create_mesh, replicate_state
     from mrfp_tpu.data.loader import DataLoader, prefetch_to_device
     from mrfp_tpu.models import MRFP
     from mrfp_tpu.perturb import oc_init
     from mrfp_tpu.train import create_train_state, make_jitted_steps
     from mrfp_tpu.train.checkpoint import CheckpointManager
+    from mrfp_tpu.train.evaluator import SegEvaluator
     from mrfp_tpu.utils import AverageMeter, prep_experiment
 
     exp = prep_experiment(cfg, root=args.runs_dir)
-    logging.info("experiment %s", exp["name"])
+    logging.info("experiment %s (%d processes, %d devices)", exp["name"],
+                 jax.process_count(), jax.device_count())
 
-    if args.synthetic or args.source == "synthetic":
-        dataset = SyntheticDataset(length=args.batch_size * 8,
-                                   hw=(args.crop_size, args.crop_size))
-    else:
-        from mrfp_tpu.data.datasets import ConcatDataset
-        # '+'-joined sources concatenate (main.py:821 GTAV+SYNTHIA)
-        parts = []
-        for src in args.source.split("+"):
-            ds_cls = DATASETS[src]
-            parts.append(ds_cls(root=args.data_root, split=TRAIN_SPLITS[src],
-                                train=True, base_size=cfg.data.base_size,
-                                crop_size=cfg.data.crop_size, seed=args.seed))
-        dataset = parts[0] if len(parts) == 1 else ConcatDataset(parts)
-    loader = DataLoader(dataset, batch_size=cfg.data.batch_size, shuffle=True,
-                        num_workers=cfg.data.num_workers, seed=args.seed)
+    nproc = jax.process_count()
+    if cfg.data.batch_size % nproc:
+        raise ValueError(f"--batch-size {cfg.data.batch_size} not divisible "
+                         f"by {nproc} processes")
+    local_bs = cfg.data.batch_size // nproc
+    dataset = build_dataset(args, cfg, train=True)
+    loader = DataLoader(dataset, batch_size=local_bs, shuffle=True,
+                        num_workers=cfg.data.num_workers, seed=args.seed,
+                        shard_rank=jax.process_index(), shard_count=nproc)
 
-    mesh = create_mesh() if jax.device_count() > 1 else None
+    mesh = create_mesh(cfg.mesh) if (jax.device_count() > 1 or multiproc) \
+        else None
     dtype = jnp.bfloat16 if args.bf16 else None
     model = MRFP(num_classes=cfg.model.num_classes, trunk=cfg.model.trunk,
                  variant=cfg.model.variant, wt_layer=cfg.model.wt_layer,
-                 hrfp_plus=cfg.model.hrfp_plus, dtype=dtype)
+                 hrfp_plus=cfg.model.hrfp_plus, use_dsn=cfg.model.use_dsn_aux,
+                 dtype=dtype)
     oc = oc_init(jax.random.PRNGKey(args.seed + 1)) if cfg.perturb.enabled \
         else None
     state = create_train_state(model, cfg.train, (1, 64, 64, 3), oc_params=oc)
     if mesh is not None:
-        state = jax.device_put(state, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))
+        state = replicate_state(mesh, state)
 
     ckpt = CheckpointManager(exp["ckpt_dir"],
                              keep=cfg.train.keep_checkpoints)
@@ -124,8 +182,28 @@ def main():
     loss_meter = AverageMeter()
     t_last = time.perf_counter()
 
+    val_dataset = build_dataset(args, cfg, train=False) \
+        if args.eval_every else None
+
+    def run_validation(state, step):
+        ev = SegEvaluator(model, state.params, state.batch_stats,
+                          num_classes=cfg.model.num_classes)
+        res = ev.run(val_dataset, max_images=args.eval_max_images,
+                     log=lambda *a, **k: None)
+        logging.info("iter %d val mean_iu %.5f acc %.5f", step,
+                     res["mean_iu"], res["acc"])
+        writer.add_scalar("val/mean_iu", res["mean_iu"], step)
+        writer.add_scalar("val/acc", res["acc"], step)
+        return {"mean_iu": res["mean_iu"], "acc": res["acc"]}
+
     step = int(state.step)
+    steps_per_epoch = max(1, len(loader))
+    metrics_for_ckpt = None
     while step < cfg.train.max_iter:
+        # epoch-dependent shuffle AND per-sample augmentation RNG
+        # (reference: DistributedSampler.set_epoch + worker re-seeding)
+        epoch = step // steps_per_epoch
+        loader.set_epoch(epoch)
         for batch in prefetch_to_device(iter(loader), mesh):
             state, metrics = jtrain(state, batch["image"].astype(jnp.float32),
                                     batch["label"])
@@ -139,12 +217,18 @@ def main():
                 logging.info("iter %d loss %.4f  %.1f img/s", step, loss, ips)
                 writer.add_scalar("train/loss", loss, step)
                 writer.add_scalar("train/images_per_sec", ips, step)
+            if args.eval_every and step % args.eval_every == 0:
+                metrics_for_ckpt = run_validation(state, step)
+                t_last = time.perf_counter()  # don't count eval in img/s
             if step % cfg.train.checkpoint_every == 0 or \
                     step >= cfg.train.max_iter - 20:
-                ckpt.save(state)
+                ckpt.save(state, metrics=metrics_for_ckpt)
+                metrics_for_ckpt = None  # only fresh val scores rotate best
             if step >= cfg.train.max_iter:
                 break
-    ckpt.save(state)
+    if args.eval_every:
+        metrics_for_ckpt = run_validation(state, step)
+    ckpt.save(state, metrics=metrics_for_ckpt)
     ckpt.wait()
     logging.info("done at step %d", step)
 

@@ -48,6 +48,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a pytree of host arrays with batch dim sharded over 'data'."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), tree)
+    """Device-put a pytree of host arrays with batch dim sharded over 'data'.
+
+    Multi-process: each process passes its LOCAL shard (DataLoader
+    shard_rank/shard_count slicing) and the result is the global array —
+    the jax.Array equivalent of DistributedSampler + NCCL-visible tensors
+    (reference main.py:818).
+    """
+    multiproc = jax.process_count() > 1
+
+    def put(x):
+        sharding = batch_sharding(mesh, np.ndim(x))
+        if multiproc:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate_state(mesh: Mesh, state):
+    """Replicate a host-built pytree over the mesh. Multi-process safe:
+    every process must hold identical host values (same seed), which is how
+    all state is built here."""
+    repl = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, np.asarray(x)), state)
+    return jax.device_put(state, repl)

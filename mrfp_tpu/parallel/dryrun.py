@@ -115,5 +115,108 @@ def run(n_devices: int) -> float:
     return loss_n
 
 
+def launch_multiprocess(n_processes: int = 2, devices_per_proc: int = 2,
+                        port: int = 47621, timeout: float = 600.0):
+    """Spawn an n-process jax.distributed CPU cluster and run one sharded
+    train step in every process; assert all processes agree on the loss.
+
+    This is the machine-checked stand-in for a multi-host pod run: the same
+    code path as cli/train.py (initialize_distributed -> global mesh ->
+    per-process batch shards -> GSPMD collectives). Returns the losses.
+    """
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    procs = []
+    for rank in range(n_processes):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # see launch()
+        xla_flags = env.get("XLA_FLAGS", "")
+        env["XLA_FLAGS"] = (
+            f"{xla_flags} --xla_force_host_platform_device_count="
+            f"{devices_per_proc}").strip()
+        pp = env.get("PYTHONPATH", "")
+        env["PYTHONPATH"] = repo_root + (os.pathsep + pp if pp else "")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "mrfp_tpu.parallel.dryrun", "--mp",
+             str(rank), str(n_processes), str(port), str(devices_per_proc)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    losses = []
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"rank {rank} failed (rc={p.returncode}):\n{out[-3000:]}")
+        for line in out.splitlines():
+            if line.startswith("MP_LOSS "):
+                losses.append(float(line.split()[1]))
+    assert len(losses) == n_processes, f"missing loss lines:\n{outs}"
+    assert max(losses) - min(losses) <= 1e-6 * max(1.0, abs(losses[0])), losses
+    return losses
+
+
+def run_multiprocess(rank: int, n_processes: int, port: int,
+                     devices_per_proc: int) -> None:
+    """Child body for launch_multiprocess: one process of the CPU cluster."""
+    import jax
+
+    # cross-process CPU collectives need gloo (the default impl is
+    # single-process only)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from mrfp_tpu.parallel.dist import initialize_distributed
+
+    multi = initialize_distributed(f"localhost:{port}", n_processes, rank)
+    assert multi and jax.process_count() == n_processes, (
+        jax.process_count(), n_processes)
+    n_global = n_processes * devices_per_proc
+    assert len(jax.devices()) == n_global, len(jax.devices())
+
+    import numpy as np
+    from mrfp_tpu.core.config import Config, MeshConfig
+    from mrfp_tpu.core.mesh import create_mesh, replicate_state, shard_batch
+    from mrfp_tpu.models import MRFP
+    from mrfp_tpu.perturb import oc_init
+    from mrfp_tpu.train import create_train_state, make_jitted_steps
+
+    cfg = Config()
+    model = MRFP(trunk="resnet-18", variant="D32")
+    hw, per_proc_bs = 32, 2
+    mesh = create_mesh(MeshConfig())
+    # identical host-side state in every process (same seed), replicated
+    state = create_train_state(model, cfg.train, (1, hw, hw, 3),
+                               oc_params=oc_init(jax.random.PRNGKey(1)))
+    state = replicate_state(mesh, state)
+
+    # each process holds its disjoint slice of the global batch
+    rng = np.random.default_rng(0)
+    g_images = rng.standard_normal(
+        (n_processes * per_proc_bs, hw, hw, 3)).astype(np.float32)
+    g_labels = rng.integers(
+        0, 19, (n_processes * per_proc_bs, hw, hw)).astype(np.int32)
+    lo = rank * per_proc_bs
+    images, labels = shard_batch(
+        mesh, (g_images[lo:lo + per_proc_bs], g_labels[lo:lo + per_proc_bs]))
+
+    jtrain, _ = make_jitted_steps(model, cfg, mesh)
+    _state, metrics = jtrain(state, images, labels)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    print(f"MP_LOSS {loss!r} rank={rank} procs={jax.process_count()} "
+          f"devices={n_global}", flush=True)
+
+
 if __name__ == "__main__":
-    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    if len(sys.argv) > 1 and sys.argv[1] == "--mp":
+        run_multiprocess(int(sys.argv[2]), int(sys.argv[3]),
+                         int(sys.argv[4]), int(sys.argv[5]))
+    else:
+        run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -38,10 +38,16 @@ class CheckpointManager:
 
     def save(self, state: TrainState, metrics: Optional[dict] = None):
         step = int(state.step)
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if step not in (self._mgr.all_steps() or []):
+            self._mgr.save(step, args=ocp.args.StandardSave(state))
         if metrics and metrics.get(self.best_metric, -np.inf) > self._best_value:
             self._best_value = metrics[self.best_metric]
             best_dir = os.path.join(self.directory, "best")
+            # rotation: one best checkpoint at a time (utils/misc.py:162-231
+            # deletes the previous best .pth the same way)
+            if os.path.isdir(best_dir):
+                import shutil
+                shutil.rmtree(best_dir)
             ocp.StandardCheckpointer().save(
                 os.path.join(best_dir, f"step_{step}"), state, force=True)
 

@@ -59,8 +59,18 @@ def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
     def loss_fn(params):
         out, mutated = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
-            images, train=True, perturb=perturb, mutable=["batch_stats"])
+            images, train=True, perturb=perturb, mutable=["batch_stats"],
+            rngs={"dropout": keys["dropout"]})
         loss = cross_entropy(out["logits"], labels, cfg.data.ignore_index)
+        if "dsn" in out:
+            # DSN aux head: CE against nearest-downsampled labels, weight 0.4
+            # (network/deepv3.py:570-577; zoo_step uses the same recipe)
+            from mrfp_tpu.ops.resize import resize_nearest
+            aux = out["dsn"]
+            lbl4 = labels[..., None].astype(jnp.float32)
+            lbl_s = resize_nearest(lbl4, size=(aux.shape[1], aux.shape[2]))
+            loss = loss + 0.4 * cross_entropy(
+                aux, lbl_s[..., 0].astype(jnp.int32), cfg.data.ignore_index)
         return loss, (mutated["batch_stats"], out)
 
     (loss, (new_stats, _out)), grads = jax.value_and_grad(

@@ -128,3 +128,26 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 128, 128, 19)
     ge.dryrun_multichip(8)
+
+
+def test_train_step_with_dsn_aux():
+    """MRFP(use_dsn=True): dropout rng must be threaded and the 0.4-weighted
+    aux CE added (network/deepv3.py:570-577)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mrfp_tpu.core.config import Config
+    from mrfp_tpu.models import MRFP
+    from mrfp_tpu.perturb import oc_init
+    from mrfp_tpu.train import create_train_state, make_jitted_steps
+
+    cfg = Config()
+    model = MRFP(trunk="resnet-18", variant="D32", use_dsn=True)
+    state = create_train_state(model, cfg.train, (1, 32, 32, 3),
+                               oc_params=oc_init(jax.random.PRNGKey(1)))
+    jt, _ = make_jitted_steps(model, cfg, None)
+    rng = np.random.default_rng(0)
+    im = jnp.asarray(rng.uniform(0, 255, (2, 32, 32, 3)), jnp.float32)
+    lb = jnp.asarray(rng.integers(0, 19, (2, 32, 32)), jnp.int32)
+    state, m = jt(state, im, lb)
+    assert np.isfinite(float(m["loss"]))
