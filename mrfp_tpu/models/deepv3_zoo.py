@@ -178,13 +178,14 @@ def covstat_update(cov_layers: List, w_arr: Sequence[jnp.ndarray],
 def whitening_loss_from_cov(w_arr: Sequence[jnp.ndarray],
                             cov_layers: List) -> jnp.ndarray:
     """The train-time wt_loss (network/deepv3.py:561-568), averaged over maps."""
-    masks, margins, nrcs = [], 0.0, []
-    mask_list = []
+    mask_list, margins, nrcs = [], [], []
     for layer in cov_layers:
         _eye, mask, margin, nrc = layer.get_mask_matrix()
         mask_list.append(jnp.asarray(mask))
         nrcs.append(float(nrc))
-        margins = float(margin)
+        # per-layer margin: with relax_denom > 0 ISW/IRW layers carry
+        # distinct margins (network/deepv3.py:561-568)
+        margins.append(float(margin))
     loss = instance_whitening_loss(list(w_arr), mask_list, margins, nrcs)
     return loss / max(len(list(w_arr)), 1)
 

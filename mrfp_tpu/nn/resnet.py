@@ -99,13 +99,21 @@ class Bottleneck(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, w_arr: list, train: bool):
+    def __call__(self, x, w_arr: list, train: bool, inject=None):
+        """``inject``: optional (site, value) additive perturbation INSIDE
+        the block — the 'matchstick' capability (Resnet.py:229-334
+        Bottleneckmatchstick): site 1 adds ``value`` to conv1's input (the
+        residual path still sees the unperturbed x, Resnet.py:288-294),
+        site 2 adds it to conv2's input."""
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * 4
-        residual = x
-        out = conv2d(width, 1, 1, 0, dtype=self.dtype, name="conv1")(x)
+        residual = x  # downsample also reads the UNPERTURBED x
+        conv1_in = x if inject is None or inject[0] != 1 else x + inject[1]
+        out = conv2d(width, 1, 1, 0, dtype=self.dtype, name="conv1")(conv1_in)
         out = BatchNorm(width, name="bn1")(out, train)
         out = nn.relu(out)
+        if inject is not None and inject[0] == 2:
+            out = out + inject[1]
         out = conv2d(width, 3, self.stride, self.dilation, self.dilation,
                      groups=self.groups, dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(width, name="bn2")(out, train)
@@ -139,13 +147,19 @@ class _Stage(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, w_arr: list, train: bool):
+    def __call__(self, x, w_arr: list, train: bool, inject=None):
+        """``inject``: optional (block_idx, site, value) — routes a
+        matchstick-style additive perturbation into one block (Bottleneck
+        only; Resnet.py:229-334)."""
         expansion = 4 if self.block_cls is Bottleneck else 1
         out_ch = self.planes * expansion
         extra = (dict(groups=self.groups, base_width=self.base_width)
                  if self.block_cls is Bottleneck else {})
         for i in range(self.blocks):
             iw = self.iw if (self.iw > 0 and i == self.blocks - 1) else 0
+            kw = {}
+            if inject is not None and inject[0] == i:
+                kw["inject"] = (inject[1], inject[2])
             x = self.block_cls(
                 planes=self.planes,
                 stride=self.stride if i == 0 else 1,
@@ -155,7 +169,7 @@ class _Stage(nn.Module):
                 dtype=self.dtype,
                 name=f"block{i}",
                 **extra,
-            )(x, w_arr, train)
+            )(x, w_arr, train, **kw)
         return x
 
 
@@ -237,8 +251,12 @@ class ResNet(nn.Module):
             return mod(x, train)  # BatchNorm
         return apply_iw(mod, code, x, w_arr, train)
 
-    def stage(self, i: int, x, w_arr: list, train: bool):
-        return self.stages[i](x, w_arr, train)
+    def stage(self, i: int, x, w_arr: list, train: bool, inject=None):
+        """``inject``: optional (block_idx, site, value) matchstick-style
+        in-block perturbation (Resnet.py:664-723 resnet50matchstick/adapt101
+        route a tensor into a chosen block; here every Bottleneck accepts it
+        natively — no separate trunk class needed)."""
+        return self.stages[i](x, w_arr, train, inject=inject)
 
     def __call__(self, x, train: bool = False):
         """Full backbone pass returning the multi-scale feature dict."""
@@ -270,6 +288,19 @@ def resnet101(**kw) -> ResNet:
 
 def resnet152(**kw) -> ResNet:
     return ResNet(block="bottleneck", layers=(3, 8, 36, 3), **kw)
+
+
+# The reference's 'matchstick' trunks (Resnet.py:662-723) are ordinary
+# ResNets whose Bottleneck accepts an in-block additive perturbation; here
+# EVERY Bottleneck supports that natively (stage(..., inject=(block, site,
+# value))), so the matchstick builders are plain aliases.
+resnet50matchstick = resnet50
+resnet101matchstick = resnet101
+
+
+def adapt101(**kw) -> ResNet:
+    """Resnet.py:706-723 — resnet-101 with matchstick blocks; see above."""
+    return resnet101(**kw)
 
 
 def resnext50_32x4d(**kw) -> ResNet:

@@ -38,7 +38,7 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
 
 def instance_whitening_loss(w_arr: Sequence[jnp.ndarray],
                             mask_matrices: Optional[Sequence[jnp.ndarray]],
-                            margin: float = 0.0,
+                            margin=0.0,
                             num_remove_cov: Optional[Sequence[float]] = None) -> jnp.ndarray:
     """ISW/IRW covariance penalty over collected whitening maps.
 
@@ -46,6 +46,10 @@ def instance_whitening_loss(w_arr: Sequence[jnp.ndarray],
     f_cor = (f @ f^T)/(HW-1) + eps*I (instance_whitening.py:30-39), mask the
     selected off-diagonal entries, clamp((sum|.| - margin)/num_remove, 0),
     mean over batch; summed over maps.
+
+    ``margin`` may be a scalar or a per-map sequence — with relax_denom > 0
+    each ISW/IRW layer carries its own margin (the reference passes each
+    layer's margin separately, network/deepv3.py:561-568).
     """
     total = jnp.asarray(0.0, jnp.float32)
     for i, w in enumerate(w_arr):
@@ -59,6 +63,7 @@ def instance_whitening_loss(w_arr: Sequence[jnp.ndarray],
             mask = jnp.triu(jnp.ones((c, c), jnp.float32), k=1)
         nrc = (num_remove_cov[i] if num_remove_cov is not None
                else jnp.sum(mask))
-        off = jnp.sum(jnp.abs(cov * mask), axis=(1, 2)) - margin
+        m = margin[i] if isinstance(margin, (list, tuple)) else margin
+        off = jnp.sum(jnp.abs(cov * mask), axis=(1, 2)) - m
         total = total + jnp.mean(jnp.clip(off / nrc, min=0.0))
     return total

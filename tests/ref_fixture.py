@@ -1,0 +1,57 @@
+"""Build a bit-exact reference checkpoint fixture by RUNNING the reference
+model code (not copying it): instantiate deepv3.MRFPPlus from the upstream
+repo on CPU torch and torch.save its state_dict in the exact on-disk format
+main.py:867-868 writes ({'epoch', 'state_dict'}, keys 'module.'-prefixed by
+DataParallel, incl. num_batches_tracked buffers).
+
+The upstream module imports a few packages this environment lacks
+(pytorch_wavelets, segmentation_models_pytorch — used only by model variants
+we don't instantiate) and downloads ImageNet weights (zero-egress here), so
+those are stubbed/neutralized before import.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isfile(os.path.join(REFERENCE_ROOT, "deepv3.py"))
+
+
+def _stub(name: str, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def build_reference_pth(path: str, num_classes: int = 19) -> int:
+    """Instantiate the upstream MRFPPlus and save it the way main.py does.
+    Returns the number of tensors saved."""
+    import torch
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    _stub("pytorch_wavelets", DWTForward=object, DWTInverse=object)
+    base = _stub("segmentation_models_pytorch.base", SegmentationModel=object,
+                 SegmentationHead=object, ClassificationHead=object,
+                 modules=_stub("segmentation_models_pytorch.base.modules"))
+    _stub("segmentation_models_pytorch", base=base)
+    _stub("segmentation_models_pytorch.decoders", unet=None)
+    _stub("segmentation_models_pytorch.decoders.unet", UnetDecoder=object)
+    _stub("segmentation_models_pytorch.encoders",
+          get_encoder=lambda *a, **k: None)
+    import torch.utils.model_zoo as mz
+    mz.load_url = lambda *a, **k: {}  # zero-egress: skip the ImageNet fetch
+    from deepv3 import MRFPPlus  # noqa: the upstream module
+
+    model = MRFPPlus(num_classes=num_classes)
+    sd = {("module." + k): v for k, v in model.state_dict().items()}
+    torch.save({"epoch": 0, "state_dict": sd}, path)
+    return len(sd)

@@ -149,3 +149,26 @@ def test_registry_names_match_reference():
     assert expected <= set(MODEL_REGISTRY)
     m = get_net("DeepR18V3PlusD", use_dsn=False)
     assert m.trunk == "resnet-18" and m.variant == "D"
+
+
+def test_whitening_loss_uses_per_layer_margins():
+    """With relax_denom > 0 each ISW layer carries its own margin; the loss
+    must use layer i's margin for map i (network/deepv3.py:561-568), not the
+    last layer's."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mrfp_tpu.train.losses import instance_whitening_loss
+
+    rng = np.random.default_rng(0)
+    w_arr = [jnp.asarray(rng.standard_normal((2, 4, 4, 8)), jnp.float32),
+             jnp.asarray(rng.standard_normal((2, 4, 4, 8)), jnp.float32)]
+    masks = [jnp.triu(jnp.ones((8, 8), jnp.float32), k=1)] * 2
+    nrcs = [28.0, 28.0]
+    per_layer = float(instance_whitening_loss(w_arr, masks, [0.0, 100.0], nrcs))
+    # margin 100 clamps map 1's penalty to zero -> equals map-0-only loss
+    map0_only = float(instance_whitening_loss(w_arr[:1], masks[:1], 0.0,
+                                              nrcs[:1]))
+    assert abs(per_layer - map0_only) < 1e-6
+    # the old bug applied the LAST margin to every map
+    buggy = float(instance_whitening_loss(w_arr, masks, 100.0, nrcs))
+    assert buggy < per_layer

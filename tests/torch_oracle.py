@@ -116,8 +116,15 @@ def _inorm(x, sd, name):
                            bias=sd[name + ".bias"], eps=1e-5)
 
 
-def _bottleneck(x, sd, p, stride, dilation, has_ds, has_in):
-    out = F.relu(_bn(F.conv2d(x, sd[p + ".conv1.weight"]), sd, p + ".bn1"))
+def _bottleneck(x, sd, p, stride, dilation, has_ds, has_in,
+                inject_site=None, inject_val=None):
+    """inject_site/val mirror Bottleneckmatchstick (Resnet.py:229-334):
+    site 1 adds to conv1's input (residual/downsample read the unperturbed
+    x), site 2 adds to conv2's input."""
+    c1_in = x + inject_val if inject_site == 1 else x
+    out = F.relu(_bn(F.conv2d(c1_in, sd[p + ".conv1.weight"]), sd, p + ".bn1"))
+    if inject_site == 2:
+        out = out + inject_val
     out = F.relu(_bn(F.conv2d(out, sd[p + ".conv2.weight"], stride=stride,
                               padding=dilation, dilation=dilation), sd, p + ".bn2"))
     out = _bn(F.conv2d(out, sd[p + ".conv3.weight"]), sd, p + ".bn3")
@@ -145,32 +152,38 @@ def reference_train_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
         _TRAIN_MODE["on"] = False
 
 
-def reference_eval_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
-    """Eval logits for NCHW input (MRFPPlus.forward with training=False)."""
-    sd = {k[len("module."):] if k.startswith("module.") else k: v
-          for k, v in sd.items()}
-    h, w = x.shape[2], x.shape[3]
+def _strip(sd: dict) -> dict:
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in sd.items()}
 
-    # layer0
+
+def _stem(sd, x):
     x = F.conv2d(x, sd["layer0.0.weight"], stride=2, padding=3)
     x = _inorm(x, sd, "layer0.1")
     x = F.relu(x)
-    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    return F.max_pool2d(x, 3, stride=2, padding=1)
 
-    feats = {}
-    for li, blocks in enumerate(R50_BLOCKS, start=1):
-        stage_stride = 1 if li in (1, 4) else 2     # D16: layer4 stride 1
-        dilation = 2 if li == 4 else 1
-        for b in range(blocks):
-            stride = stage_stride if b == 0 else 1
-            has_ds = b == 0  # every stage's first block has a projection
-            has_in = li in (1, 2) and b == blocks - 1
-            x = _bottleneck(x, sd, f"layer{li}.{b}", stride,
-                            dilation if li == 4 else 1, has_ds, has_in)
-        feats[li] = x
-    low_level = feats[1]
 
-    # ASPP (image pooling first, then 1x1, then dilated 6/12/18)
+def _stage(sd, x, li, inject=None):
+    """One ResNet-50 D16 stage (layer1..layer4). ``inject``:
+    (block, site, tensor) matchstick perturbation."""
+    blocks = R50_BLOCKS[li - 1]
+    stage_stride = 1 if li in (1, 4) else 2     # D16: layer4 stride 1
+    for b in range(blocks):
+        stride = stage_stride if b == 0 else 1
+        has_ds = b == 0  # every stage's first block has a projection
+        has_in = li in (1, 2) and b == blocks - 1
+        site, val = (inject[1], inject[2]) \
+            if inject is not None and inject[0] == b else (None, None)
+        x = _bottleneck(x, sd, f"layer{li}.{b}", stride,
+                        2 if li == 4 else 1, has_ds, has_in,
+                        inject_site=site, inject_val=val)
+    return x
+
+
+def _heads(sd, x, low_level):
+    """ASPP (image pooling first, then 1x1, then dilated 6/12/18) + decoder
+    up to dec1 (deepv3.py:347-354)."""
     size = x.shape[2:]
     img = x.mean((2, 3), keepdim=True)
     img = F.relu(_bn(F.conv2d(img, sd["aspp.img_conv.0.weight"]),
@@ -193,5 +206,98 @@ def reference_eval_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
                       sd, "final1.1"))
     dec1 = F.relu(_bn(F.conv2d(dec1, sd["final1.3.weight"], padding=1),
                       sd, "final1.4"))
+    return dec1
+
+
+def reference_eval_forward(sd: dict, x: torch.Tensor) -> torch.Tensor:
+    """Eval logits for NCHW input (MRFPPlus.forward with training=False)."""
+    sd = _strip(sd)
+    h, w = x.shape[2], x.shape[3]
+    x = _stem(sd, x)
+    x = _stage(sd, x, 1)
+    low_level = x
+    for li in (2, 3, 4):
+        x = _stage(sd, x, li)
+    dec1 = _heads(sd, x, low_level)
     dec2 = F.conv2d(dec1, sd["final2.0.weight"], sd["final2.0.bias"])
     return _up(dec2, (h, w))
+
+
+# --- gates-ON train forward (deepv3.py:280-367) -----------------------------
+
+def np_plus_injected(feat: torch.Tensor, alpha: torch.Tensor,
+                     beta_noise: torch.Tensor,
+                     scale_mult: float = 1.5) -> torch.Tensor:
+    """Normalization_Perturbation_Plus (deepv3.py:268-277) with the two
+    normal draws injected (alpha ~ N(1,0.75), beta_noise ~ N(0,0.75), both
+    (B,C,1,1)) so jax and torch can be driven with identical randomness."""
+    feat_mean = feat.mean((2, 3), keepdim=True)
+    mean_diff = torch.std(feat_mean, 0, keepdim=True)  # unbiased, like ref
+    mean_scale = mean_diff / mean_diff.max() * scale_mult
+    beta = 1 + beta_noise * mean_scale
+    return alpha * feat - alpha * feat_mean + beta * feat_mean
+
+
+def _oc_stage(sd, x, conv, bn, dilation, scale=None, size=None):
+    """conv -> nearest interpolate -> train-mode BN -> ReLU, the reference's
+    per-layer OC pattern (deepv3.py:320-327)."""
+    w, b = sd[conv + ".weight"], sd[conv + ".bias"]
+    y = F.conv2d(x, w, b, padding=dilation, dilation=dilation)
+    y = F.interpolate(y, scale_factor=scale, size=size)  # mode='nearest'
+    c = w.shape[0]
+    y = F.batch_norm(y, torch.zeros(c), torch.ones(c), sd[bn + ".weight"],
+                     sd[bn + ".bias"], training=True, eps=1e-5)
+    return F.relu(y)
+
+
+def reference_train_forward_perturbed(
+        sd: dict, x: torch.Tensor, np_noise: dict,
+        gate_oc: bool, gate_np: bool, gate_dec: bool) -> torch.Tensor:
+    """The FULL perturbed train forward (deepv3.py:280-367): OC stem
+    injection (p), NP+ after layer0 and layer1 (p2), OC decoder injection at
+    half resolution (p3). ``np_noise`` holds the injected NP+ draws:
+    alpha0/beta0 (B,64,1,1) for the stem site, alpha1/beta1 (B,256,1,1) for
+    the layer1 site. OC weights come from sd's OC* tensors (frozen branch)."""
+    import math
+
+    sd = _strip(sd)
+    h, w = x.shape[2], x.shape[3]
+    _TRAIN_MODE["on"] = True
+    try:
+        x = _stem(sd, x)
+        xp = x
+        if gate_np:
+            x = np_plus_injected(xp, np_noise["alpha0"], np_noise["beta0"])
+
+        # OC branch always computes from the UNPERTURBED stem xp
+        # (deepv3.py:320-327)
+        oc = _oc_stage(sd, xp, "OClayer1", "OC1_bn", 1, scale=(1.205, 1.205))
+        oc = _oc_stage(sd, oc, "OClayer2", "OC2_bn", 1, scale=(1.2, 1.2))
+        oc = _oc_stage(sd, oc, "OClayer3", "OC3_bn", 2, scale=(1.2, 1.2))
+        oc_dec = _oc_stage(sd, oc, "OClayer4", "OC4_bn", 2,
+                           size=(int(h / 2), int(w / 2)))
+        oc = _oc_stage(sd, oc_dec, "OCdeclayer1", "OC1_decbn", 1,
+                       size=(int(h / 2), int(w / 2)))
+        oc = _oc_stage(sd, oc, "OCdeclayer2", "OC2_decbn", 1,
+                       scale=(0.838, 0.838))
+        oc = _oc_stage(sd, oc, "OCdeclayer3", "OC3_decbn", 2,
+                       scale=(0.798, 0.798))
+        ocout = _oc_stage(sd, oc, "OCdeclayer4", "OC4_decbn", 2,
+                          size=(math.ceil(h / 4), math.ceil(w / 4)))
+        if gate_oc:
+            x = ocout + x
+
+        x = _stage(sd, x, 1)
+        if gate_np:
+            x = np_plus_injected(x, np_noise["alpha1"], np_noise["beta1"])
+        low_level = x
+        for li in (2, 3, 4):
+            x = _stage(sd, x, li)
+        dec1 = _heads(sd, x, low_level)
+        if gate_dec:
+            dec1 = _up(dec1, (int(h / 2), int(w / 2)))
+            dec1 = oc_dec + dec1
+        dec2 = F.conv2d(dec1, sd["final2.0.weight"], sd["final2.0.bias"])
+        return _up(dec2, (h, w))
+    finally:
+        _TRAIN_MODE["on"] = False
