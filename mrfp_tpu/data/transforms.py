@@ -229,16 +229,26 @@ class RandomSizeAndCrop:
     """Random scale in [0.5, 2.0] then crop (dataloaders.py:398-434).
 
     GTAV active pipeline: size=768, crop_nopad=False, ignore_index=255,
-    pre_size=None (main.py:414)."""
+    pre_size=None (main.py:414).
+
+    ``fused=True`` (default) resamples only the cropped region via PIL's
+    ``resize(box=...)`` instead of materializing the full scaled frame —
+    ~8x faster per image (63->8 ms at GTAV resolution). The sampling grid is
+    mathematically identical; float coefficient rounding can differ by <=2
+    uint8 LSB on <0.5% of pixels (bounded by a test). The rng draw sequence
+    is preserved exactly, and the pad / centroid / nopad-shrink cases fall
+    back to the reference two-step path.
+    """
 
     def __init__(self, size, crop_nopad, scale_min=0.5, scale_max=2.0,
                  ignore_index=0, pre_size=None,
-                 rng: Optional[_random.Random] = None):
+                 rng: Optional[_random.Random] = None, fused: bool = True):
         self.rng = rng or _random
         self.crop = RandomCrop(size, ignore_index=ignore_index,
                                nopad=crop_nopad, rng=self.rng)
         self.scale_min, self.scale_max = scale_min, scale_max
         self.pre_size = pre_size
+        self.fused = fused
 
     def __call__(self, sample, centroid=None):
         img, mask = sample["image"], sample["label"]
@@ -252,6 +262,31 @@ class RandomSizeAndCrop:
         w, h = (int(d * scale_amt) for d in img.size)
         if centroid is not None:
             centroid = [int(c * scale_amt) for c in centroid]
+
+        th, tw = self.crop.size
+        if self.fused and centroid is None and w >= tw and h >= th \
+                and not (w == tw and h == th):
+            # same draw order as RandomCrop.__call__ (x then y)
+            x1 = 0 if w == tw else self.rng.randint(0, w - tw)
+            y1 = 0 if h == th else self.rng.randint(0, h - th)
+            W, H = img.size
+            box = (x1 * W / w, y1 * H / h,
+                   (x1 + tw) * W / w, (y1 + th) * H / h)
+            # label: PIL's NEAREST index rule has version-specific tie
+            # behavior — recover ITS OWN mapping from index-ramp resizes
+            # (cheap: W+H pixels), then gather just the cropped window; this
+            # is exactly full-resize-then-crop.
+            ix = np.asarray(Image.fromarray(
+                np.arange(W, dtype=np.int32)[None, :], "I")
+                .resize((w, 1), Image.NEAREST))[0]
+            iy = np.asarray(Image.fromarray(
+                np.arange(H, dtype=np.int32)[:, None], "I")
+                .resize((1, h), Image.NEAREST))[:, 0]
+            m = np.asarray(mask)[iy[y1:y1 + th][:, None],
+                                 ix[x1:x1 + tw][None, :]]
+            return {"image": img.resize((tw, th), Image.BICUBIC, box=box),
+                    "label": Image.fromarray(m)}
+
         img = img.resize((w, h), Image.BICUBIC)
         mask = mask.resize((w, h), Image.NEAREST)
         img, mask = self.crop(img, mask, centroid)
@@ -325,6 +360,25 @@ class ColorJitter:
         self.prng = prng or _random
 
     @staticmethod
+    def _brightness(img: Image.Image, f: float) -> Image.Image:
+        """Bit-exact ImageEnhance.Brightness via a 256-entry LUT (~13x
+        faster at 2MP). PIL's C blend computes trunc(f32(f) * i), clipped."""
+        i = np.arange(256, dtype=np.float32)
+        lut = np.clip(np.trunc(np.float32(f) * i), 0, 255).astype(np.uint8)
+        return img.point(lut.tolist() * len(img.getbands()))
+
+    @staticmethod
+    def _contrast(img: Image.Image, f: float) -> Image.Image:
+        """Bit-exact ImageEnhance.Contrast via LUT: blend toward the L-mean
+        gray, trunc(mean + f32(f)*(i-mean)) clipped."""
+        from PIL import ImageStat
+        mean = int(ImageStat.Stat(img.convert("L")).mean[0] + 0.5)
+        i = np.arange(256, dtype=np.float32)
+        lut = np.clip(np.trunc(np.float32(mean) + np.float32(f) *
+                               (i - np.float32(mean))), 0, 255).astype(np.uint8)
+        return img.point(lut.tolist() * len(img.getbands()))
+
+    @staticmethod
     def _adjust_hue(img: Image.Image, factor: float) -> Image.Image:
         if img.mode in {"L", "1", "I", "F"}:
             return img
@@ -345,10 +399,10 @@ class ColorJitter:
         ops = []
         if self.b > 0:
             f = self.rng.uniform(max(0, 1 - self.b), 1 + self.b)
-            ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
+            ops.append(lambda im, f=f: self._brightness(im, f))
         if self.c > 0:
             f = self.rng.uniform(max(0, 1 - self.c), 1 + self.c)
-            ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
+            ops.append(lambda im, f=f: self._contrast(im, f))
         if self.s > 0:
             f = self.rng.uniform(max(0, 1 - self.s), 1 + self.s)
             ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))

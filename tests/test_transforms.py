@@ -192,3 +192,42 @@ def test_random_crop_p2():
     out2 = tr.RandomCropP2(40, 30, rng=_random.Random(0))(s)
     np.testing.assert_array_equal(np.asarray(out["image"]),
                                   np.asarray(out2["image"]))
+
+
+def test_random_size_and_crop_fused_matches_reference_path():
+    """The fused resize(box=) path picks the SAME crop region (identical rng
+    draw sequence) and the same pixels up to PIL coefficient rounding
+    (<=2 LSB on <1% of pixels)."""
+    import random as _random
+    rng = np.random.default_rng(4)
+    img = Image.fromarray(rng.integers(0, 255, (300, 500, 3), dtype=np.uint8))
+    lbl = Image.fromarray(rng.integers(0, 19, (300, 500), dtype=np.uint8))
+    for seed in range(5):
+        s = {"image": img, "label": lbl}
+        fused = tr.RandomSizeAndCrop(128, crop_nopad=False, ignore_index=255,
+                                     rng=_random.Random(seed), fused=True)(dict(s))
+        exact = tr.RandomSizeAndCrop(128, crop_nopad=False, ignore_index=255,
+                                     rng=_random.Random(seed), fused=False)(dict(s))
+        fi, ei = np.asarray(fused["image"], np.int32), \
+            np.asarray(exact["image"], np.int32)
+        assert fi.shape == ei.shape == (128, 128, 3)
+        d = np.abs(fi - ei)
+        assert d.max() <= 2 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+        # labels are BIT-EXACT: the fused path gathers through PIL's own
+        # nearest index mapping (recovered from index-ramp resizes)
+        np.testing.assert_array_equal(np.asarray(fused["label"]),
+                                      np.asarray(exact["label"]))
+
+
+def test_color_jitter_lut_matches_image_enhance():
+    """LUT brightness/contrast are bit-exact vs PIL ImageEnhance."""
+    from PIL import ImageEnhance
+    rng = np.random.default_rng(2)
+    im = Image.fromarray(rng.integers(0, 255, (64, 80, 3), dtype=np.uint8))
+    for f in rng.uniform(0.5, 1.5, 20):
+        np.testing.assert_array_equal(
+            np.asarray(tr.ColorJitter._brightness(im, float(f))),
+            np.asarray(ImageEnhance.Brightness(im).enhance(float(f))))
+        np.testing.assert_array_equal(
+            np.asarray(tr.ColorJitter._contrast(im, float(f))),
+            np.asarray(ImageEnhance.Contrast(im).enhance(float(f))))
