@@ -87,6 +87,10 @@ class MRFP(nn.Module):
     remat: bool = False              # rematerialize backbone stages
     oc_conditional: bool = True      # lax.cond-skip unused OC halves
     dtype: Optional[Any] = None      # compute dtype for convs (bf16 on TPU)
+    logits_fp32: bool = False        # False: keep train logits in `dtype`
+    # (CE upcasts per-element inside its fusion; halves the HBM traffic of
+    # the full-res logit maps in a bandwidth-bound step). fp32 models
+    # (dtype=None) always emit fp32 logits.
 
     def setup(self):
         if self.trunk not in _RESNET_BUILDERS:
@@ -181,6 +185,11 @@ class MRFP(nn.Module):
             oc_dec_c = oc_dec  # close over; same shape in both... only used in true branch
 
             def _with_dec(mdl, d):
+                # NOTE a commuted form (final2 at H/4, resize 19-ch logits,
+                # + final2(oc_dec) - bias; exact because a 1x1 conv commutes
+                # with bilinear resize) would skip materializing the 604 MB
+                # (N,H/2,W/2,256) map — but that program SIGSEGVs the TPU
+                # compiler (2026-08 libtpu); keep the reference-shaped graph.
                 d = resize_bilinear_align_corners(d, half)
                 d = d + oc_dec_c
                 d = mdl.final2(d)
@@ -194,7 +203,9 @@ class MRFP(nn.Module):
         else:
             main_out = resize_bilinear_align_corners(self.final2(dec1), (h, w))
 
-        out: Dict[str, Any] = {"logits": main_out.astype(jnp.float32)}
+        logit_dtype = jnp.float32 if (self.logits_fp32 or self.dtype is None
+                                      or not train) else self.dtype
+        out: Dict[str, Any] = {"logits": main_out.astype(logit_dtype)}
         if w_arr:
             out["w_arr"] = w_arr
         if self.use_dsn:

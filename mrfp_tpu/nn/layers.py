@@ -64,3 +64,50 @@ def max_pool_3x3_s2(x):
 def avg_pool_global(x):
     """AdaptiveAvgPool2d(1): NHWC -> N11C."""
     return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+class Conv7x7S2D(nn.Module):
+    """The ResNet stem conv (7x7 stride 2 pad 3, no bias) computed through a
+    space-to-depth reparameterization.
+
+    A 3-channel 7x7 conv starves the MXU: the contraction dim (3 channels)
+    pads to a full lane tile and the kernel walks a 768^2 grid. Rearranging
+    the input into 2x2 blocks ((N,H,W,3) -> (N,H/2,W/2,12)) and the 7x7x3
+    kernel into an equivalent 4x4x12 kernel (stride 1, asymmetric pad (2,1))
+    computes the EXACT same products on a 4x larger contraction dim and a
+    4x smaller grid. The parameter keeps the reference 7x7x3xO HWIO layout
+    (checkpoint parity); the rearrangement is a cheap traced reshape of the
+    9.4k-element kernel, so gradients flow unchanged.
+
+    Falls back to the direct conv for odd spatial sizes (Mapillary heights).
+    """
+
+    features: int = 64
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", kaiming_fan_out,
+                            (7, 7, x.shape[-1], self.features), jnp.float32)
+        import jax.lax as lax
+
+        n, h, w, c = x.shape
+        dtype = self.dtype or x.dtype
+        if h % 2 or w % 2:
+            return lax.conv_general_dilated(
+                x.astype(dtype), kernel.astype(dtype), (2, 2),
+                [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # input: 2x2 space-to-depth, channel order (a, b, c)
+        xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        # kernel: out[i] tap u reads input row 2i+u-3 = 2(i+s)+a with
+        # u = 2s+3+a; padding row -1 makes the (s=-2, a=0) slot a zero tap,
+        # then rows (-1..6) reshape directly into (s, a)
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        o = self.features
+        k4 = kp.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+        k4 = k4.reshape(4, 4, 4 * c, o)
+        return lax.conv_general_dilated(
+            xs.astype(dtype), k4.astype(dtype), (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -21,7 +21,7 @@ from typing import List, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mrfp_tpu.nn.layers import conv2d, max_pool_3x3_s2
+from mrfp_tpu.nn.layers import Conv7x7S2D, conv2d, max_pool_3x3_s2
 from mrfp_tpu.nn.norms import BatchNorm, apply_iw, make_iw_layer
 
 # variant -> {stage_index (0-based): (stride, dilation)} overrides
@@ -186,6 +186,7 @@ class ResNet(nn.Module):
     groups: int = 1
     base_width: int = 64
     remat: bool = False                  # rematerialize stages (memory/batch)
+    s2d_stem: bool = True                # space-to-depth 7x7 stem reparam
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -210,7 +211,12 @@ class ResNet(nn.Module):
                 if self.wt_layer[2] else BatchNorm(128, name="bn3")
             in_ch = 128
         else:
-            self.conv1 = conv2d(64, 7, 2, 3, dtype=self.dtype, name="conv1")
+            # same param tree either way (conv1/kernel, 7x7x3x64 HWIO); the
+            # s2d path computes the exact same conv MXU-friendly
+            # (layers.Conv7x7S2D)
+            self.conv1 = Conv7x7S2D(64, dtype=self.dtype, name="conv1") \
+                if self.s2d_stem else \
+                conv2d(64, 7, 2, 3, dtype=self.dtype, name="conv1")
             # stem norm selected by wt_layer[2] (Resnet.py:525-549)
             self.stem_iw1 = make_iw_layer(self.wt_layer[2], 64, "bn1_iw") \
                 if self.wt_layer[2] else BatchNorm(64, name="bn1")

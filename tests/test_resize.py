@@ -104,3 +104,26 @@ def test_oc_chain_sizes_768():
     d1 = nearest_out_size(half, (0.838, 0.838))
     d2 = nearest_out_size(d1, (0.798, 0.798))
     assert half == (384, 384) and d1 == (321, 321) and d2 == (256, 256)
+
+
+def test_conv7x7_s2d_reparam_is_exact():
+    """Space-to-depth stem conv (nn/layers.Conv7x7S2D) computes the exact
+    7x7/s2/p3 conv: same param layout, same products, MXU-friendly shape;
+    odd sizes fall back to the direct conv."""
+    import jax
+    import jax.numpy as jnp
+    from mrfp_tpu.nn.layers import Conv7x7S2D, conv2d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 96, 3)), jnp.float32)
+    m = Conv7x7S2D(64)
+    v = m.init(jax.random.PRNGKey(0), x)
+    direct = conv2d(64, 7, 2, 3).apply(
+        {"params": {"kernel": v["params"]["kernel"]}}, x)
+    np.testing.assert_allclose(np.asarray(m.apply(v, x)), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+    x_odd = jnp.asarray(rng.standard_normal((1, 63, 96, 3)), jnp.float32)
+    direct_odd = conv2d(64, 7, 2, 3).apply(
+        {"params": {"kernel": v["params"]["kernel"]}}, x_odd)
+    np.testing.assert_array_equal(np.asarray(m.apply(v, x_odd)),
+                                  np.asarray(direct_odd))
