@@ -53,14 +53,21 @@ def _onehot_matrix(idx: np.ndarray, in_size: int) -> np.ndarray:
 
 def _take_rows(x: jnp.ndarray, idx: np.ndarray, axis: int,
                impl: str) -> jnp.ndarray:
-    """Gather rows along a spatial axis, either as an XLA gather or as a
-    one-hot matmul. The matmul form is exact (single 1 per row, so even bf16
-    accumulation is exact) and turns the *backward* pass into a transposed
-    matmul on the MXU instead of a serialized scatter-add — the scatter is
-    what makes gather-based resizes slow to differentiate on TPU.
+    """Gather rows along a spatial axis: XLA gather, one-hot matmul, or a
+    layout-preserving Pallas kernel. The matmul form is exact (single 1 per
+    row, so even bf16 accumulation is exact) and turns the *backward* pass
+    into a transposed matmul on the MXU instead of a serialized scatter-add —
+    the scatter is what makes gather-based resizes slow to differentiate on
+    TPU. The Pallas form computes the same one-hot dots in VMEM over C-minor
+    blocks, so XLA keeps the canonical NHWC layout instead of inserting
+    full-tensor transpose copies around every resize (~16 GB/step in the
+    MRFP+ train graph — see ops/pallas_resize.py).
     """
     if impl == "auto":
         impl = "matmul" if jax.default_backend() == "tpu" else "gather"
+    if impl == "pallas":
+        from mrfp_tpu.ops.pallas_resize import take_rows
+        return take_rows(x, tuple(int(i) for i in idx), axis)
     if impl == "gather":
         return jnp.take(x, jnp.asarray(idx), axis=axis)
     in_size = x.shape[axis]

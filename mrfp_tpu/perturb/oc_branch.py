@@ -26,11 +26,13 @@ global batch (the SyncBN semantics the reference gets via cfg.BNFUNC).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from mrfp_tpu.ops.resize import resize_nearest
 
@@ -94,11 +96,23 @@ def _conv(p: Dict[str, jnp.ndarray], x: jnp.ndarray, dilation: int,
     return y + p["bias"].astype(y.dtype)
 
 
+# Remat everything except the per-channel stats: without this, XLA keeps the
+# fp32 normalized maps (and fp32 cotangent zero-fills at the lax.cond
+# boundaries) live across the whole backward pass — ~5 GB of HBM at bs8 768^2
+# for the enc4/dec1-sized maps. Recomputing the elementwise normalize from
+# the (already-saved) bf16 conv output is a fused no-extra-pass operation;
+# only the stat reductions are worth saving.
+_BN_POLICY = jax.checkpoint_policies.save_only_these_names("oc_bn_stats")
+
+
+@functools.partial(jax.checkpoint, policy=_BN_POLICY)
 def _bn_relu(p: Dict[str, jnp.ndarray], y: jnp.ndarray) -> jnp.ndarray:
     """Train-mode BN (batch stats, biased var, eps 1e-5) then ReLU, fp32 math."""
     yf = y.astype(jnp.float32)
-    mean = jnp.mean(yf, axis=(0, 1, 2))
-    var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)
+    mean = checkpoint_name(jnp.mean(yf, axis=(0, 1, 2)), "oc_bn_stats")
+    var = checkpoint_name(
+        jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean),
+        "oc_bn_stats")
     yf = (yf - mean) * jax.lax.rsqrt(var + 1e-5)
     yf = yf * p["bn_scale"] + p["bn_bias"]
     return jnp.maximum(yf, 0.0).astype(y.dtype)
