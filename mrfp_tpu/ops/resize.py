@@ -72,10 +72,14 @@ def _take_rows(x: jnp.ndarray, idx: np.ndarray, axis: int,
         return jnp.take(x, jnp.asarray(idx), axis=axis)
     in_size = x.shape[axis]
     P = jnp.asarray(_onehot_matrix(idx, in_size), x.dtype)
+    # HIGHEST for f32: the default TPU dot precision rounds f32 operands to
+    # bf16, so even a one-hot selection would corrupt f32 eval activations
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     if axis == 1:
-        return jnp.einsum("oh,nhwc->nowc", P, x)
+        return jnp.einsum("oh,nhwc->nowc", P, x, precision=prec)
     if axis == 2:
-        return jnp.einsum("ow,nhwc->nhoc", P, x)
+        return jnp.einsum("ow,nhwc->nhoc", P, x, precision=prec)
     raise ValueError(axis)
 
 
@@ -100,6 +104,14 @@ def resize_nearest(x: jnp.ndarray,
             return x
         iy = _nearest_idx_from_size(h, size[0])
         ix = _nearest_idx_from_size(w, size[1])
+    if impl == "fused":
+        # single layout-preserving Pallas kernel for both axes (TPU train
+        # hot path — the OC branch); falls back off-TPU
+        if jax.default_backend() == "tpu" and x.ndim == 4:
+            from mrfp_tpu.ops.pallas_resize import resize_nearest_fused
+            return resize_nearest_fused(x, tuple(int(i) for i in iy),
+                                        tuple(int(i) for i in ix))
+        impl = "auto"
     x = _take_rows(x, iy, 1, impl)
     x = _take_rows(x, ix, 2, impl)
     return x
@@ -117,6 +129,22 @@ def _bilinear_ac_weights(in_size: int, out_size: int):
     return idx0, idx1, frac
 
 
+def _bilinear_taps(in_size: int, out_size: int):
+    """Static two-tap spec ((idx0, 1-f), (idx1, f)) for the fused kernel."""
+    i0, i1, f = _bilinear_ac_weights(in_size, out_size)
+    return ((tuple(int(i) for i in i0), tuple(float(1 - v) for v in f)),
+            (tuple(int(i) for i in i1), tuple(float(v) for v in f)))
+
+
+def _fused_bilinear_fits(x, ow: int) -> bool:
+    c = x.shape[3]
+    w = x.shape[2]
+    # 3 row blocks (2 taps + out) + the dense (ow, w) matrix must fit VMEM
+    from mrfp_tpu.ops.pallas_resize import _VMEM_BUDGET
+    need = (2 * w + ow) * c * x.dtype.itemsize + ow * w * x.dtype.itemsize
+    return need <= _VMEM_BUDGET
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int],
                                   impl: str = "auto") -> jnp.ndarray:
     """Bilinear align_corners=True resize of NHWC ``x`` (mynn.py Upsample).
@@ -130,6 +158,14 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int],
     if (h, w) == (oh, ow):
         return x
     dtype = x.dtype
+    if impl == "auto" and jax.default_backend() == "tpu" and x.ndim == 4 \
+            and x.shape[3] >= 64 and _fused_bilinear_fits(x, ow):
+        # one layout-preserving Pallas kernel for both axes; skipped for
+        # narrow-channel maps (19-class logits) where lane padding would
+        # waste most of the tile — those keep the einsum form
+        from mrfp_tpu.ops.pallas_resize import resize_bilinear_fused
+        return resize_bilinear_fused(x, _bilinear_taps(h, oh),
+                                     _bilinear_taps(w, ow))
     if h != oh:
         i0, i1, f = _bilinear_ac_weights(h, oh)
         f = jnp.asarray(f, dtype)[None, :, None, None]

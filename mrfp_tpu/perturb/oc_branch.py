@@ -123,7 +123,7 @@ def _stage(p, x, name: str, dtype,
            size: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
     """relu(bn(resize(conv(x)))) — the reference's per-layer pattern."""
     y = _conv(p[name], x, _dilation(name), dtype)
-    y = resize_nearest(y, size=size, scale=scale)
+    y = resize_nearest(y, size=size, scale=scale, impl="fused")
     return _bn_relu(p[name], y)
 
 

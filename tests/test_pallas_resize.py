@@ -82,6 +82,56 @@ def test_row_mix_general_matrix():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_fused_nearest_matches_gather():
+    from mrfp_tpu.ops.pallas_resize import resize_nearest_fused
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 24, 20, 8)), jnp.float32)
+    iy = tuple(int(i) for i in _nearest_idx_from_scale(24, 1.205))
+    ix = tuple(int(i) for i in _nearest_idx_from_scale(20, 1.205))
+    got = resize_nearest_fused(x, iy, ix, True)
+    ref = jnp.take(jnp.take(x, jnp.asarray(iy), 1), jnp.asarray(ix), 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # grad: multiplicity-decomposed transpose == scatter-add adjoint
+    g = jnp.asarray(rng.standard_normal(got.shape), jnp.float32)
+
+    def f(x):
+        return jnp.vdot(resize_nearest_fused(x, iy, ix, True), g)
+
+    def fr(x):
+        return jnp.vdot(
+            jnp.take(jnp.take(x, jnp.asarray(iy), 1), jnp.asarray(ix), 2), g)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(x)),
+                               np.asarray(jax.grad(fr)(x)), atol=1e-5)
+
+
+def test_fused_bilinear_matches_two_tap():
+    from mrfp_tpu.ops.pallas_resize import resize_bilinear_fused
+    from mrfp_tpu.ops.resize import _bilinear_taps, resize_bilinear_align_corners
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 24, 20, 8)), jnp.float32)
+    for size in [(48, 40), (17, 15), (24, 31)]:
+        got = resize_bilinear_fused(x, _bilinear_taps(24, size[0]),
+                                    _bilinear_taps(20, size[1]), True)
+        ref = resize_bilinear_align_corners(x, size, impl="gather")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6, rtol=2e-6)
+        g = jnp.asarray(rng.standard_normal(got.shape), jnp.float32)
+
+        def f(x):
+            return jnp.vdot(resize_bilinear_fused(
+                x, _bilinear_taps(24, size[0]), _bilinear_taps(20, size[1]),
+                True), g)
+
+        def fr(x):
+            return jnp.vdot(
+                resize_bilinear_align_corners(x, size, impl="gather"), g)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(f)(x)),
+                                   np.asarray(jax.grad(fr)(x)),
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_resize_nearest_impls_agree():
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 24, 20, 8)), jnp.float32)
