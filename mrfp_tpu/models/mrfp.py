@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from mrfp_tpu.nn.deeplab import ASPP, DSNHead, DeepLabDecoder
-from mrfp_tpu.nn.layers import conv2d, kaiming_fan_in
+from mrfp_tpu.nn.layers import PointwiseConv, kaiming_fan_in
 from mrfp_tpu.nn.resnet import (
     resnet18,
     resnet34,
@@ -102,9 +102,9 @@ class MRFP(nn.Module):
         os = variant_output_stride(self.variant)
         self.aspp = ASPP(256, output_stride=os, dtype=self.dtype, name="aspp")
         self.decoder = DeepLabDecoder(dtype=self.dtype, name="decoder")
-        self.final2 = conv2d(self.num_classes, 1, bias=True,
-                             kernel_init=kaiming_fan_in, dtype=self.dtype,
-                             name="final2")
+        self.final2 = PointwiseConv(self.num_classes,
+                                    kernel_init=kaiming_fan_in,
+                                    dtype=self.dtype, name="final2")
         if self.use_dsn:
             self.dsn = DSNHead(self.num_classes, dtype=self.dtype, name="dsn")
 

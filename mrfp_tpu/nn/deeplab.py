@@ -105,7 +105,7 @@ class DeepLabDecoder(nn.Module):
         dec0_up = ConvBNReLU(256, 1, dtype=self.dtype, name="bot_aspp")(aspp_out, train)
         dec0_fine = ConvBNReLU(48, 1, dtype=self.dtype, name="bot_fine")(low_level, train)
         dec0_up = resize_bilinear_align_corners(
-            dec0_up, (low_level.shape[1], low_level.shape[2]))
+            dec0_up, (low_level.shape[1], low_level.shape[2]), impl="matmul")
         dec0 = jnp.concatenate([dec0_fine, dec0_up], axis=-1)
         dec1 = ConvBNReLU(256, 3, padding=1, dtype=self.dtype, name="final1_0")(dec0, train)
         dec1 = ConvBNReLU(256, 3, padding=1, dtype=self.dtype, name="final1_1")(dec1, train)

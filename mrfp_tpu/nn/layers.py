@@ -56,6 +56,39 @@ def conv2d(features: int,
     )
 
 
+class PointwiseConv(nn.Module):
+    """1x1 conv computed as a matmul on the flattened (N*H*W, C) map.
+
+    Bit-identical math and param pytree to ``nn.Conv(kernel_size=(1,1))``
+    (HWIO (1,1,Cin,Cout) kernel + (Cout,) bias — checkpoint compatible), but
+    lowered to a dot: XLA's TPU conv layout assignment prefers a
+    batch-in-sublanes activation layout ({3,0,2,1}) that forces relayout
+    copies (604 MB each on the MRFP+ final2 dual-resolution chain, profiled)
+    whenever the producer/consumer is an elementwise fusion or Pallas call
+    pinned to the standard {3,2,1,0} layout. A dot on (N*H*W, C) is a bitcast
+    away from standard NHWC, so the chain keeps one layout end-to-end.
+    """
+
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = kaiming_fan_in
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (1, 1, cin, self.features), jnp.float32)
+        dt = self.dtype or x.dtype
+        y = jnp.dot(x.astype(dt).reshape(-1, cin), kernel[0, 0].astype(dt))
+        y = y.reshape(*x.shape[:-1], self.features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(dt)
+        return y
+
+
 def max_pool_3x3_s2(x):
     """torch nn.MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
