@@ -19,11 +19,30 @@ fuses with surrounding elementwise work.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Trace-time switch: multi-device programs must not route through Pallas —
+# GSPMD cannot partition a pallas_call custom call, so under a sharded batch
+# it would all-gather the full feature map to every chip. The einsum one-hot
+# forms are plain dots that shard cleanly along batch. make_jitted_steps
+# wraps multi-device traces in pallas_kernels_disabled().
+_PALLAS_OK = contextvars.ContextVar("mrfp_pallas_resize_ok", default=True)
+
+
+@contextlib.contextmanager
+def pallas_kernels_disabled():
+    """Route all resizes through partitionable XLA forms while tracing."""
+    tok = _PALLAS_OK.set(False)
+    try:
+        yield
+    finally:
+        _PALLAS_OK.reset(tok)
 
 
 def nearest_out_size(in_hw: Tuple[int, int], scale: Tuple[float, float]) -> Tuple[int, int]:
@@ -106,8 +125,8 @@ def resize_nearest(x: jnp.ndarray,
         ix = _nearest_idx_from_size(w, size[1])
     if impl == "fused":
         # single layout-preserving Pallas kernel for both axes (TPU train
-        # hot path — the OC branch); falls back off-TPU
-        if jax.default_backend() == "tpu" and x.ndim == 4:
+        # hot path — the OC branch); falls back off-TPU and under a mesh
+        if jax.default_backend() == "tpu" and x.ndim == 4 and _PALLAS_OK.get():
             from mrfp_tpu.ops.pallas_resize import resize_nearest_fused
             return resize_nearest_fused(x, tuple(int(i) for i in iy),
                                         tuple(int(i) for i in ix))
@@ -159,7 +178,8 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int],
         return x
     dtype = x.dtype
     if impl == "auto" and jax.default_backend() == "tpu" and x.ndim == 4 \
-            and x.shape[3] >= 64 and _fused_bilinear_fits(x, ow):
+            and x.shape[3] >= 64 and _PALLAS_OK.get() \
+            and _fused_bilinear_fits(x, ow):
         # one layout-preserving Pallas kernel for both axes; skipped for
         # narrow-channel maps (19-class logits) where lane padding would
         # waste most of the tile — those keep the einsum form

@@ -109,6 +109,20 @@ def make_jitted_steps(model, cfg: Config, mesh: Optional[Mesh] = None):
     if mesh is None:
         return jax.jit(t, donate_argnums=0), jax.jit(e)
 
+    if mesh.size > 1:
+        # GSPMD cannot partition pallas_call: route resizes through the
+        # einsum forms (shardable dots) while tracing the sharded program
+        from mrfp_tpu.ops.resize import pallas_kernels_disabled
+
+        def _no_pallas(f):
+            @functools.wraps(f)
+            def g(*args, **kwargs):
+                with pallas_kernels_disabled():
+                    return f(*args, **kwargs)
+            return g
+
+        t, e = _no_pallas(t), _no_pallas(e)
+
     repl = NamedSharding(mesh, P())
     data4 = NamedSharding(mesh, P(mesh.axis_names[0], None, None, None))
     data3 = NamedSharding(mesh, P(mesh.axis_names[0], None, None))

@@ -92,3 +92,30 @@ def test_shufflenet_unit_stride2_parity():
     out = out.view(b, 2, c // 2, h, w).transpose(1, 2).contiguous().view(b, c, h, w)
     ref = np.transpose(out.numpy(), (0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_pointwise_conv_matches_conv2d_1x1():
+    """PointwiseConv (the dot-lowered 1x1 used for final2) is bit-compatible
+    with nn.Conv(kernel_size=(1,1)): same param pytree, same outputs, same
+    grads — a checkpoint written against either loads into the other."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mrfp_tpu.nn.layers import PointwiseConv, conv2d, kaiming_fan_in
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 9, 11, 7)),
+                    jnp.float32)
+    pw = PointwiseConv(5, kernel_init=kaiming_fan_in)
+    cv = conv2d(5, 1, bias=True, kernel_init=kaiming_fan_in)
+    vp = pw.init(jax.random.PRNGKey(3), x)
+    vc = cv.init(jax.random.PRNGKey(3), x)
+    # identical param tree (same names, shapes, and — same init rngs — values)
+    assert jax.tree.structure(vp) == jax.tree.structure(vc)
+    for a, b in zip(jax.tree.leaves(vp), jax.tree.leaves(vc)):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(pw.apply(vp, x), cv.apply(vp, x),
+                               rtol=1e-6, atol=1e-6)
+    gp = jax.grad(lambda v: jnp.sum(jnp.square(pw.apply(v, x))))(vp)
+    gc = jax.grad(lambda v: jnp.sum(jnp.square(cv.apply(v, x))))(vp)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gc)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)

@@ -127,3 +127,43 @@ def test_conv7x7_s2d_reparam_is_exact():
         {"params": {"kernel": v["params"]["kernel"]}}, x_odd)
     np.testing.assert_array_equal(np.asarray(m.apply(v, x_odd)),
                                   np.asarray(direct_odd))
+
+
+def test_pallas_kernels_disabled_context(monkeypatch):
+    """Multi-device traces route resizes away from pallas_call (GSPMD can't
+    partition custom calls); the context flips both fused routes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import mrfp_tpu.ops.resize as rz
+    import mrfp_tpu.ops.pallas_resize as pr
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 64)),
+                    jnp.float32)
+    called = []
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(pr, "resize_nearest_fused",
+                        lambda v, iy, ix: called.append("nearest") or
+                        jnp.zeros((v.shape[0], len(iy), len(ix), v.shape[3]),
+                                  v.dtype))
+    monkeypatch.setattr(pr, "resize_bilinear_fused",
+                        lambda v, th, tw: called.append("bilinear") or
+                        jnp.zeros((v.shape[0], len(th[0][0]), len(tw[0][0]),
+                                   v.shape[3]), v.dtype))
+
+    # outside the context (fake-TPU): the fused routes are taken
+    rz.resize_nearest(x, size=(4, 4), impl="fused")
+    rz.resize_bilinear_align_corners(x, (16, 16))
+    assert called == ["nearest", "bilinear"]
+
+    # inside: both fall back to the shardable einsum forms
+    called.clear()
+    with rz.pallas_kernels_disabled():
+        a = rz.resize_nearest(x, size=(4, 4), impl="fused")
+        b = rz.resize_bilinear_align_corners(x, (16, 16))
+    assert called == []
+    np.testing.assert_allclose(
+        a, rz.resize_nearest(x, size=(4, 4), impl="gather"), atol=1e-6)
+    np.testing.assert_allclose(
+        b, rz.resize_bilinear_align_corners(x, (16, 16), impl="gather"),
+        rtol=1e-5, atol=1e-5)
