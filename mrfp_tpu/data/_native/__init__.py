@@ -48,6 +48,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             lib.copy_remap_u8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                           ctypes.c_int64, ctypes.c_void_p,
                                           ctypes.c_void_p, ctypes.c_int32]
+            lib.hue_shift_u8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_int64, ctypes.c_int32,
+                                         ctypes.c_int32]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -93,6 +96,27 @@ def u8_to_f32(img: np.ndarray, scale: float = 1.0, shift: float = 0.0) -> np.nda
     out = np.empty(img.shape, dtype=np.float32)
     lib.u8_to_f32(img.ctypes.data, out.ctypes.data, img.size,
                   ctypes.c_float(scale), ctypes.c_float(shift))
+    return out
+
+
+def hue_shift_u8(rgb: np.ndarray, delta: int,
+                 num_threads: Optional[int] = None) -> np.ndarray:
+    """PIL-exact hue jitter (RGB->HSV->+delta->RGB) on uint8 HWC images.
+
+    Native single-pass kernel when the toolchain is available; otherwise the
+    vectorized numpy reimplementation (data/color.py) — both bit-identical
+    to the PIL round trip (tests/test_transforms.py)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    assert rgb.shape[-1] == 3
+    lib = _build_and_load()
+    if lib is None:
+        from mrfp_tpu.data.color import hue_shift_u8 as np_hue
+        return np_hue(rgb, delta)
+    if num_threads is None:
+        num_threads = max(1, min(8, os.cpu_count() or 1))
+    out = np.empty_like(rgb)
+    lib.hue_shift_u8(rgb.ctypes.data, out.ctypes.data, rgb.size // 3,
+                     int(delta) & 0xFF, num_threads)
     return out
 
 

@@ -7,6 +7,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC native.cpp -o libmrfpnative.so
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -85,6 +86,81 @@ void copy_remap_u8(const uint8_t* in, uint8_t* out, int64_t n,
   for (int64_t i = 0; i < n; ++i) {
     if (hit[in[i]]) out[i] = lut[in[i]];
   }
+}
+
+// Hue jitter: RGB -> HSV -> (H + delta) mod 256 -> RGB in one pass,
+// bit-exact to PIL convert("HSV") / convert("RGB") (Pillow Convert.c).
+// The float/double narrowing below is load-bearing: Pillow's C evaluates
+// the hue expression and the fmod step in double (double literals promote)
+// but assigns through float locals; data/color.py documents the derivation
+// (verified exhaustively over all 16.7M inputs against the PIL oracle).
+void hue_shift_u8(const uint8_t* in, uint8_t* out, int64_t n_pixels,
+                  int32_t delta, int32_t num_threads) {
+  const uint8_t d = (uint8_t)(delta & 0xFF);
+  const int nt = std::max(1, (int)num_threads);
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n_pixels + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([=]() {
+      const int64_t lo = t * chunk, hi = std::min(n_pixels, lo + chunk);
+      for (int64_t k = lo; k < hi; ++k) {
+        const uint8_t r8 = in[3 * k], g8 = in[3 * k + 1], b8 = in[3 * k + 2];
+        // --- rgb2hsv (Pillow Convert.c semantics) ---
+        const uint8_t maxc = std::max(r8, std::max(g8, b8));
+        const uint8_t minc = std::min(r8, std::min(g8, b8));
+        uint8_t uh = 0, us = 0;
+        const uint8_t uv = maxc;
+        if (maxc != minc) {
+          const float cr = (float)(maxc - minc);
+          const float s = cr / (float)maxc;
+          const float rc = ((float)(maxc - r8)) / cr;
+          const float gc = ((float)(maxc - g8)) / cr;
+          const float bc = ((float)(maxc - b8)) / cr;
+          float h;
+          if (maxc == r8) h = bc - gc;
+          else if (maxc == g8) h = (float)(2.0 + rc - bc);
+          else h = (float)(4.0 + gc - rc);
+          h = (float)fmod((h / 6.0 + 1.0), 1.0);
+          int ih = (int)(h * 255.0);
+          int is = (int)(s * 255.0);
+          uh = (uint8_t)std::min(255, std::max(0, ih));
+          us = (uint8_t)std::min(255, std::max(0, is));
+        }
+        // --- hue shift, uint8 wraparound ---
+        uh = (uint8_t)(uh + d);
+        // --- hsv2rgb ---
+        if (us == 0) {
+          out[3 * k] = uv; out[3 * k + 1] = uv; out[3 * k + 2] = uv;
+        } else {
+          const double fh = (double)uh * 6.0 / 255.0;
+          const int i = (int)floor(fh);
+          const float f = (float)(fh - (double)i);
+          const float fs = (float)((double)us / 255.0);
+          const double v = (double)uv;
+          auto clip8 = [](double x) {
+            // numpy round (half-to-even) matched PIL on every reachable
+            // value exhaustively; nearbyint reproduces it in C
+            int r = (int)nearbyint(x);
+            return (uint8_t)std::min(255, std::max(0, r));
+          };
+          const uint8_t p = clip8(v * (1.0 - (double)fs));
+          const uint8_t q = clip8(v * (1.0 - (double)fs * (double)f));
+          const uint8_t tt = clip8(v * (1.0 - (double)fs * (1.0 - (double)f)));
+          uint8_t r, g, b;
+          switch (((i % 6) + 6) % 6) {
+            case 0: r = uv; g = tt; b = p; break;
+            case 1: r = q;  g = uv; b = p; break;
+            case 2: r = p;  g = uv; b = tt; break;
+            case 3: r = p;  g = q;  b = uv; break;
+            case 4: r = tt; g = p;  b = uv; break;
+            default: r = uv; g = p; b = q; break;
+          }
+          out[3 * k] = r; out[3 * k + 1] = g; out[3 * k + 2] = b;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

@@ -382,6 +382,16 @@ class ColorJitter:
     def _adjust_hue(img: Image.Image, factor: float) -> Image.Image:
         if img.mode in {"L", "1", "I", "F"}:
             return img
+        from mrfp_tpu.data import _native
+        if img.mode == "RGB" and _native.available():
+            # bit-exact single-pass threaded hue shift — PIL's HSV round
+            # trip costs ~110 ms single-core at GTAV resolution and
+            # dominates the jitter stage when it fires; the native kernel
+            # splits it across host cores (data/color.py documents the
+            # exact-semantics derivation). Without a toolchain the PIL
+            # path below stays (it beats the vectorized-numpy fallback).
+            arr = _native.hue_shift_u8(np.asarray(img), int(factor * 255))
+            return Image.fromarray(arr, "RGB")
         h, s, v = img.convert("HSV").split()
         np_h = np.array(h, dtype=np.uint8)
         # uint8 wraparound handles the cyclic hue shift; modern numpy rejects
