@@ -51,6 +51,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             lib.hue_shift_u8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                          ctypes.c_int64, ctypes.c_int32,
                                          ctypes.c_int32]
+            lib.saturation_u8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                          ctypes.c_int64, ctypes.c_float,
+                                          ctypes.c_int32]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -117,6 +120,23 @@ def hue_shift_u8(rgb: np.ndarray, delta: int,
     out = np.empty_like(rgb)
     lib.hue_shift_u8(rgb.ctypes.data, out.ctypes.data, rgb.size // 3,
                      int(delta) & 0xFF, num_threads)
+    return out
+
+
+def saturation_u8(rgb: np.ndarray, factor: float,
+                  num_threads: Optional[int] = None) -> np.ndarray:
+    """PIL-exact ImageEnhance.Color on uint8 HWC RGB (native or numpy)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    assert rgb.shape[-1] == 3
+    lib = _build_and_load()
+    if lib is None:
+        from mrfp_tpu.data.color import saturation_u8 as np_sat
+        return np_sat(rgb, factor)
+    if num_threads is None:
+        num_threads = max(1, min(8, os.cpu_count() or 1))
+    out = np.empty_like(rgb)
+    lib.saturation_u8(rgb.ctypes.data, out.ctypes.data, rgb.size // 3,
+                      ctypes.c_float(factor), num_threads)
     return out
 
 

@@ -88,6 +88,34 @@ void copy_remap_u8(const uint8_t* in, uint8_t* out, int64_t n,
   }
 }
 
+// Saturation jitter (ImageEnhance.Color): blend toward the ITU-R 601-2
+// integer luma in ONE pass — PIL materializes the L image, re-expands it to
+// RGB and runs Blend.c; semantics here are bit-exact to that chain
+// (data/color.py documents the derivation: integer luma with the 0x8000
+// rounding bit, f32 trunc blend).
+void saturation_u8(const uint8_t* in, uint8_t* out, int64_t n_pixels,
+                   float factor, int32_t num_threads) {
+  const int nt = std::max(1, (int)num_threads);
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n_pixels + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([=]() {
+      const int64_t lo = t * chunk, hi = std::min(n_pixels, lo + chunk);
+      for (int64_t k = lo; k < hi; ++k) {
+        const uint32_t r = in[3 * k], g = in[3 * k + 1], b = in[3 * k + 2];
+        const float lum =
+            (float)((r * 19595u + g * 38470u + b * 7471u + 0x8000u) >> 16);
+        for (int c = 0; c < 3; ++c) {
+          const float v = lum + factor * ((float)in[3 * k + c] - lum);
+          const int iv = (int)v;  // C cast truncates toward zero
+          out[3 * k + c] = (uint8_t)std::min(255, std::max(0, iv));
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
 // Hue jitter: RGB -> HSV -> (H + delta) mod 256 -> RGB in one pass,
 // bit-exact to PIL convert("HSV") / convert("RGB") (Pillow Convert.c).
 // The float/double narrowing below is load-bearing: Pillow's C evaluates

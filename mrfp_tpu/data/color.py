@@ -81,6 +81,24 @@ def hsv_to_rgb_u8(hsv: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+def saturation_u8(rgb: np.ndarray, factor: float) -> np.ndarray:
+    """Bit-exact ``ImageEnhance.Color(img).enhance(factor)`` for RGB uint8.
+
+    PIL's path is convert("L") (ITU-R 601-2 integer: (R*19595 + G*38470 +
+    B*7471 + 0x8000) >> 16), replicate to RGB, then Blend.c's
+    ``trunc(f32(a) + f32(factor) * (f32(b) - f32(a)))`` clipped — f32, not
+    f64 (an f64 blend mismatches ~0.5% of random factors; verified against
+    the PIL oracle over all 65536 (a, b) pairs x 200 factors)."""
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    lum = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(_f32)
+    f = _f32(factor)
+    out = np.trunc(lum[..., None] +
+                   f * (rgb.astype(_f32) - lum[..., None])).astype(_f64)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def hue_shift_u8(rgb: np.ndarray, delta: int) -> np.ndarray:
     """RGB -> HSV -> (H + delta) mod 256 -> RGB, the reference hue jitter
     (dataloaders.py:618-637) without PIL. ``delta`` is the uint8 hue step

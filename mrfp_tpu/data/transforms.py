@@ -379,6 +379,16 @@ class ColorJitter:
         return img.point(lut.tolist() * len(img.getbands()))
 
     @staticmethod
+    def _saturation(img: Image.Image, f: float) -> Image.Image:
+        """Bit-exact ImageEnhance.Color via the one-pass native kernel
+        (integer-luma blend, data/color.py); PIL runs three C passes."""
+        from mrfp_tpu.data import _native
+        if img.mode == "RGB" and _native.available():
+            return Image.fromarray(
+                _native.saturation_u8(np.asarray(img), f), "RGB")
+        return ImageEnhance.Color(img).enhance(f)
+
+    @staticmethod
     def _adjust_hue(img: Image.Image, factor: float) -> Image.Image:
         if img.mode in {"L", "1", "I", "F"}:
             return img
@@ -415,7 +425,7 @@ class ColorJitter:
             ops.append(lambda im, f=f: self._contrast(im, f))
         if self.s > 0:
             f = self.rng.uniform(max(0, 1 - self.s), 1 + self.s)
-            ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
+            ops.append(lambda im, f=f: self._saturation(im, f))
         if self.h > 0:
             f = self.rng.uniform(-self.h, self.h)
             ops.append(lambda im, f=f: self._adjust_hue(im, f))

@@ -280,3 +280,21 @@ def test_rgb_hsv_roundtrip_exactness_sampled():
     np.testing.assert_array_equal(
         hsv_to_rgb_u8(arr),
         np.asarray(Image.fromarray(arr, "HSV").convert("RGB")))
+
+
+def test_saturation_matches_image_enhance_color():
+    """data/color.saturation_u8 + native kernel == ImageEnhance.Color."""
+    from PIL import Image, ImageEnhance
+    from mrfp_tpu.data import _native
+    from mrfp_tpu.data.color import saturation_u8 as np_sat
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (128, 128, 3), np.uint8)
+    img[:8] = 0
+    img[8:16] = 255
+    for f in (0.0, 0.2, 0.61, 1.0, 1.37, 1.9):
+        ref = np.asarray(
+            ImageEnhance.Color(Image.fromarray(img, "RGB")).enhance(f))
+        np.testing.assert_array_equal(np_sat(img, f), ref)
+        if _native.available():
+            np.testing.assert_array_equal(_native.saturation_u8(img, f), ref)
