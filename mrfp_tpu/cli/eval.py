@@ -45,6 +45,12 @@ def parse_args():
                         "compiles for mixed-shape domains; logits deviate "
                         "near padded borders). Default: exact shapes, the "
                         "reference protocol")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="compute dtype. float32 (default) is the reference "
+                        "parity protocol; bfloat16 is the fast serving path "
+                        "(~2.2x forward throughput on TPU; logits stay f32, "
+                        "borderline argmaxes can differ)")
     return p.parse_args()
 
 
@@ -52,7 +58,8 @@ def load_model_and_params(args):
     from mrfp_tpu.models import MRFP
     from mrfp_tpu.train.import_torch import load_torch_checkpoint
 
-    model = MRFP(trunk=args.trunk, variant=args.variant)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    model = MRFP(trunk=args.trunk, variant=args.variant, dtype=dtype)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, 64, 64, 3)), train=False)
     params, stats = variables["params"], variables.get("batch_stats", {})
