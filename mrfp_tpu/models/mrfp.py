@@ -182,20 +182,15 @@ class MRFP(nn.Module):
         # --- final classifier, p3-gated resolution switch (deepv3.py:355-361) ---
         if perturbing and self.hrfp_plus:
             half = (int(h / 2), int(w / 2))
-            # Both resolutions are computed every step and selected with
-            # `where`: the lax.cond form copied the closed-over (N,H/2,W/2,
-            # 256) oc_dec map and the branch results at the conditional
-            # boundary — ~3.6 GB of pure copies per step (profiled) — while
-            # the dual compute is one extra 1x1 conv + bilinear taps.
-            # NOTE a commuted form (final2 at H/4, resize 19-ch logits,
-            # + final2(oc_dec) - bias; exact because a 1x1 conv commutes
-            # with bilinear resize) would skip materializing the 604 MB
-            # half-res map entirely — but that program SIGSEGVs the TPU
-            # compiler (2026-08 libtpu); keep the reference-shaped graph.
-            d_dec = resize_bilinear_align_corners(dec1, half) + oc_dec
-            with_dec = resize_bilinear_align_corners(self.final2(d_dec), (h, w))
-            no_dec = resize_bilinear_align_corners(self.final2(dec1), (h, w))
-            main_out = jnp.where(perturb.gate_dec, with_dec, no_dec)
+
+            def _with_dec(m):
+                d_dec = resize_bilinear_align_corners(dec1, half) + oc_dec
+                return resize_bilinear_align_corners(m.final2(d_dec), (h, w))
+
+            def _no_dec(m):
+                return resize_bilinear_align_corners(m.final2(dec1), (h, w))
+
+            main_out = nn.cond(perturb.gate_dec, _with_dec, _no_dec, self)
         else:
             main_out = resize_bilinear_align_corners(self.final2(dec1), (h, w))
 
