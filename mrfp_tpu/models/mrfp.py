@@ -135,9 +135,12 @@ class MRFP(nn.Module):
             # FLOPs in expectation at p=p3=0.5.
             dtype = self.dtype or jnp.float32
             if self.oc_conditional:
-                # two cond boundaries measured fastest on TPU (181 ms/step
-                # avg vs 186 single-switch vs 189 unconditional, 40-step
-                # A/B at p=0.5 gates)
+                # two cond boundaries measured fastest on TPU (round-1 A/B:
+                # 181 ms vs 186 single-switch vs 189 unconditional; re-run
+                # at the round-2 program: 137 ms two-cond vs 184 ms
+                # unconditional, 40-step avg at p=0.5 gates). NP+ stays a
+                # where-select: gating it under cond measured 57.5 vs 58.3
+                # img/s (boundary copies exceed the skipped moment math).
                 oc_dec_shape = (xp.shape[0], int(h / 2), int(w / 2), 256)
                 oc_dec = jax.lax.cond(
                     jnp.logical_or(perturb.gate_oc, perturb.gate_dec),
