@@ -151,3 +151,24 @@ def test_train_step_with_dsn_aux():
     lb = jnp.asarray(rng.integers(0, 19, (2, 32, 32)), jnp.int32)
     state, m = jt(state, im, lb)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_multi_device_trace_has_no_pallas_calls(monkeypatch):
+    """The >1-device program must not contain pallas custom calls (GSPMD
+    cannot partition them — it would all-gather the sharded batch). The
+    escape hatch routes resizes through shardable einsum forms even when
+    the backend reports TPU (faked here; resize 'auto'/'fused' otherwise
+    take the Pallas path at these channel widths)."""
+    cfg, model, state, images, labels, mesh = _tiny_setup(8)
+    # bf16 + >=64-channel maps so the fused-resize conditions would fire
+    model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7,
+                 hrfp_plus=True, dtype=jnp.bfloat16)
+    state = create_train_state(model, cfg.train, (1, 32, 32, 3),
+                               oc_params=oc_init(jax.random.PRNGKey(1)))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    im, lb = shard_batch(mesh, (images, labels))
+    jtrain, _ = make_jitted_steps(model, cfg, mesh)
+    text = jtrain.lower(state, im, lb).as_text()
+    assert "tpu_custom_call" not in text and "pallas" not in text.lower()
