@@ -69,7 +69,6 @@ def load_model_and_params(args):
         logging.info("imported torch checkpoint: %d tensors, %d skipped",
                      report["loaded"], len(report["skipped"]))
     elif args.ckpt:
-        import orbax.checkpoint as ocp
         from mrfp_tpu.core.config import Config
         from mrfp_tpu.perturb import oc_init
         from mrfp_tpu.train import create_train_state

@@ -48,7 +48,6 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 128
 _VMEM_BYTES = 4 * 1024 * 1024  # per-block input budget
