@@ -298,3 +298,34 @@ def test_saturation_matches_image_enhance_color():
         np.testing.assert_array_equal(np_sat(img, f), ref)
         if _native.available():
             np.testing.assert_array_equal(_native.saturation_u8(img, f), ref)
+
+
+def test_composed_jitter_chain_matches_pil():
+    """Applying our native brightness/contrast/saturation/hue kernels in a
+    chain produces the same pixels as the equivalent pure-PIL chain — the
+    per-op exactness composes (uint8 in/out at every stage, so bitwise
+    equality survives arbitrary op order)."""
+    from PIL import Image, ImageEnhance
+    from mrfp_tpu.data.transforms import ColorJitter
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (96, 96, 3), np.uint8)
+    img = Image.fromarray(arr, "RGB")
+    fb, fc, fs, fh = 1.31, 0.74, 1.22, -0.06
+
+    ours = ColorJitter._brightness(img, fb)
+    ours = ColorJitter._contrast(ours, fc)
+    ours = ColorJitter._saturation(ours, fs)
+    ours = ColorJitter._adjust_hue(ours, fh)
+
+    ref = ImageEnhance.Brightness(img).enhance(fb)
+    ref = ImageEnhance.Contrast(ref).enhance(fc)
+    ref = ImageEnhance.Color(ref).enhance(fs)
+    h, s, v = ref.convert("HSV").split()
+    np_h = np.array(h, dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        np_h += np.uint8(int(fh * 255) & 0xFF)
+    ref = Image.merge("HSV",
+                      (Image.fromarray(np_h, "L"), s, v)).convert("RGB")
+
+    np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
