@@ -1,8 +1,11 @@
 """Transform parity for the deterministic geometry ops, and distribution /
 protocol checks for the stochastic ones."""
 
-import numpy as np
+import os
 import random
+
+import numpy as np
+import pytest
 from PIL import Image
 
 from mrfp_tpu.data import transforms as tr
@@ -329,3 +332,23 @@ def test_composed_jitter_chain_matches_pil():
                       (Image.fromarray(np_h, "L"), s, v)).convert("RGB")
 
     np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+@pytest.mark.skipif(not os.environ.get("MRFP_EXHAUSTIVE"),
+                    reason="full 16.7M-input oracle check; set "
+                           "MRFP_EXHAUSTIVE=1 (e.g. after a Pillow bump)")
+def test_rgb_hsv_exhaustive_all_inputs():
+    """Every uint8 RGB (and HSV) triple, vs the PIL oracle — the derivation
+    in data/color.py was established with exactly this check."""
+    from PIL import Image
+    from mrfp_tpu.data.color import hsv_to_rgb_u8, rgb_to_hsv_u8
+
+    idx = np.arange(256 ** 3, dtype=np.uint32)
+    tri = np.stack([(idx >> 16) & 255, (idx >> 8) & 255, idx & 255],
+                   -1).astype(np.uint8).reshape(4096, 4096, 3)
+    np.testing.assert_array_equal(
+        rgb_to_hsv_u8(tri),
+        np.asarray(Image.fromarray(tri, "RGB").convert("HSV")))
+    np.testing.assert_array_equal(
+        hsv_to_rgb_u8(tri),
+        np.asarray(Image.fromarray(tri, "HSV").convert("RGB")))
