@@ -32,9 +32,15 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         try:
             if (not os.path.exists(so_path) or
                     os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
+                # -march=native: compiled lazily on the deployment host, so
+                # host-specific SIMD is safe and vectorizes the color math.
+                # -ffp-contract=off: FMA contraction changes the rounding of
+                # a*b+c chains and breaks bit-exactness vs the PIL oracle
+                # (the jitter kernels' contract); SIMD stays enabled.
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     "-pthread", _SRC, "-o", so_path],
+                    ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                     "-shared", "-fPIC", "-std=c++17", "-pthread",
+                     _SRC, "-o", so_path],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(so_path)
             lib.remap_u8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,

@@ -131,60 +131,58 @@ void hue_shift_u8(const uint8_t* in, uint8_t* out, int64_t n_pixels,
   for (int t = 0; t < nt; ++t) {
     threads.emplace_back([=]() {
       const int64_t lo = t * chunk, hi = std::min(n_pixels, lo + chunk);
+      // Branch-free body (ternaries compile to selects) so -march=native
+      // can vectorize the whole loop. fp-semantics notes:
+      // - fmod(x, 1.0) == x - floor(x) exactly for the positive x here
+      //   (x = h/6 + 1 in (5/6, 1.8+]), so the vector-hostile libm fmod
+      //   is replaced without changing a single bit;
+      // - divisions use a 1-substituted denominator under the achromatic /
+      //   zero mask instead of branching (results are masked out).
       for (int64_t k = lo; k < hi; ++k) {
         const uint8_t r8 = in[3 * k], g8 = in[3 * k + 1], b8 = in[3 * k + 2];
-        // --- rgb2hsv (Pillow Convert.c semantics) ---
         const uint8_t maxc = std::max(r8, std::max(g8, b8));
         const uint8_t minc = std::min(r8, std::min(g8, b8));
-        uint8_t uh = 0, us = 0;
         const uint8_t uv = maxc;
-        if (maxc != minc) {
-          const float cr = (float)(maxc - minc);
-          const float s = cr / (float)maxc;
-          const float rc = ((float)(maxc - r8)) / cr;
-          const float gc = ((float)(maxc - g8)) / cr;
-          const float bc = ((float)(maxc - b8)) / cr;
-          float h;
-          if (maxc == r8) h = bc - gc;
-          else if (maxc == g8) h = (float)(2.0 + rc - bc);
-          else h = (float)(4.0 + gc - rc);
-          h = (float)fmod((h / 6.0 + 1.0), 1.0);
-          int ih = (int)(h * 255.0);
-          int is = (int)(s * 255.0);
-          uh = (uint8_t)std::min(255, std::max(0, ih));
-          us = (uint8_t)std::min(255, std::max(0, is));
-        }
-        // --- hue shift, uint8 wraparound ---
+        const bool chroma = maxc != minc;
+        const float cr = (float)(maxc - minc);
+        const float crs = chroma ? cr : 1.0f;
+        const float maxs = maxc ? (float)maxc : 1.0f;
+        const float s = cr / maxs;
+        const float rc = ((float)(maxc - r8)) / crs;
+        const float gc = ((float)(maxc - g8)) / crs;
+        const float bc = ((float)(maxc - b8)) / crs;
+        const float h0 = (maxc == r8) ? (bc - gc)
+                       : (maxc == g8) ? (float)(2.0 + rc - bc)
+                                      : (float)(4.0 + gc - rc);
+        const double hx = (double)h0 / 6.0 + 1.0;
+        const float h = (float)(hx - floor(hx));
+        const int ih = (int)((double)h * 255.0);
+        const int is = (int)((double)s * 255.0);
+        uint8_t uh = chroma ? (uint8_t)std::min(255, std::max(0, ih)) : 0;
+        const uint8_t us = chroma ? (uint8_t)std::min(255, std::max(0, is)) : 0;
         uh = (uint8_t)(uh + d);
-        // --- hsv2rgb ---
-        if (us == 0) {
-          out[3 * k] = uv; out[3 * k + 1] = uv; out[3 * k + 2] = uv;
-        } else {
-          const double fh = (double)uh * 6.0 / 255.0;
-          const int i = (int)floor(fh);
-          const float f = (float)(fh - (double)i);
-          const float fs = (float)((double)us / 255.0);
-          const double v = (double)uv;
-          auto clip8 = [](double x) {
-            // numpy round (half-to-even) matched PIL on every reachable
-            // value exhaustively; nearbyint reproduces it in C
-            int r = (int)nearbyint(x);
-            return (uint8_t)std::min(255, std::max(0, r));
-          };
-          const uint8_t p = clip8(v * (1.0 - (double)fs));
-          const uint8_t q = clip8(v * (1.0 - (double)fs * (double)f));
-          const uint8_t tt = clip8(v * (1.0 - (double)fs * (1.0 - (double)f)));
-          uint8_t r, g, b;
-          switch (((i % 6) + 6) % 6) {
-            case 0: r = uv; g = tt; b = p; break;
-            case 1: r = q;  g = uv; b = p; break;
-            case 2: r = p;  g = uv; b = tt; break;
-            case 3: r = p;  g = q;  b = uv; break;
-            case 4: r = tt; g = p;  b = uv; break;
-            default: r = uv; g = p; b = q; break;
-          }
-          out[3 * k] = r; out[3 * k + 1] = g; out[3 * k + 2] = b;
-        }
+        const double fh = (double)uh * 6.0 / 255.0;
+        const int i = (int)fh;                 // fh >= 0: trunc == floor
+        const float f = (float)(fh - (double)i);
+        const float fs = (float)((double)us / 255.0);
+        const double v = (double)uv;
+        const int p = (int)nearbyint(v * (1.0 - (double)fs));
+        const int q = (int)nearbyint(v * (1.0 - (double)fs * (double)f));
+        const int tt = (int)nearbyint(v * (1.0 - (double)fs * (1.0 - (double)f)));
+        const uint8_t up = (uint8_t)std::min(255, std::max(0, p));
+        const uint8_t uq = (uint8_t)std::min(255, std::max(0, q));
+        const uint8_t ut = (uint8_t)std::min(255, std::max(0, tt));
+        const int im = i - (i / 6) * 6;        // i in [0,6] -> im in [0,5] or 0
+        const uint8_t r = (im == 1) ? uq : (im == 2 || im == 3) ? up
+                        : (im == 4) ? ut : uv;
+        const uint8_t g = (im == 0) ? ut : (im == 3) ? uq
+                        : (im >= 4) ? up : uv;
+        const uint8_t b = (im == 0 || im == 1) ? up : (im == 2) ? ut
+                        : (im == 5) ? uq : uv;
+        const bool gray = us == 0;
+        out[3 * k]     = gray ? uv : r;
+        out[3 * k + 1] = gray ? uv : g;
+        out[3 * k + 2] = gray ? uv : b;
       }
     });
   }
