@@ -53,6 +53,23 @@ def parse_args():
     p.add_argument("--freq-transform", default=None,
                    choices=[None, "hpf", "lpf", "phot"],
                    help="in-graph FFT batch transform (dataloaders.py:24-79)")
+    p.add_argument("--random-flip", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--color-jitter", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-color-jitter disables the b/c/s/h jitter "
+                        "(main.py:413) — e.g. for tasks where absolute color "
+                        "carries the label")
+    p.add_argument("--gaussian-blur", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--scale-range", type=float, nargs=2, default=(0.5, 2.0),
+                   metavar=("MIN", "MAX"))
+    p.add_argument("--class-uniform-pct", type=float, default=0.0,
+                   help="fraction of train crops biased toward rare-class "
+                        "centroids (reference CLASS_UNIFORM_PCT, config.py:53)")
+    p.add_argument("--batch-weighting", action="store_true",
+                   help="per-batch rare-class CE upweighting (reference "
+                        "BATCH_WEIGHTING, config.py:56)")
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--eval-every", type=int, default=0,
                    help="run validation every N iters; 0 = off. Feeds the "
@@ -84,7 +101,14 @@ def build_config(args):
                                  batch_size=args.batch_size,
                                  crop_size=args.crop_size,
                                  base_size=args.crop_size,
-                                 freq_transform=args.freq_transform),
+                                 freq_transform=args.freq_transform,
+                                 random_flip=args.random_flip,
+                                 color_jitter=(cfg.data.color_jitter
+                                               if args.color_jitter else None),
+                                 gaussian_blur=args.gaussian_blur,
+                                 scale_range=tuple(args.scale_range),
+                                 class_uniform_pct=args.class_uniform_pct,
+                                 batch_weighting=args.batch_weighting),
         train=dataclasses.replace(cfg.train, max_iter=args.max_iter,
                                   lr=args.lr, seed=args.seed,
                                   checkpoint_every=args.ckpt_every,
@@ -117,7 +141,9 @@ def build_dataset(args, cfg, train: bool = True):
             random_flip=cfg.data.random_flip,
             color_jitter=cfg.data.color_jitter,
             scale_range=cfg.data.scale_range,
-            gaussian_blur=cfg.data.gaussian_blur))
+            gaussian_blur=cfg.data.gaussian_blur,
+            class_uniform_pct=cfg.data.class_uniform_pct,
+            class_uniform_classes=cfg.data.class_uniform_classes))
         if not train:
             return parts[0]  # validate on the first source's val split
     return parts[0] if len(parts) == 1 else ConcatDataset(parts)
@@ -188,8 +214,12 @@ def main():
     def run_validation(state, step):
         ev = SegEvaluator(model, state.params, state.batch_stats,
                           num_classes=cfg.model.num_classes)
+        # every process scores a disjoint stride of the val set; partial
+        # histograms merge via all-gather so all ranks see the same mIoU
         res = ev.run(val_dataset, max_images=args.eval_max_images,
-                     log=lambda *a, **k: None)
+                     log=lambda *a, **k: None,
+                     shard_rank=jax.process_index(),
+                     shard_count=jax.process_count())
         logging.info("iter %d val mean_iu %.5f acc %.5f", step,
                      res["mean_iu"], res["acc"])
         writer.add_scalar("val/mean_iu", res["mean_iu"], step)
@@ -222,13 +252,15 @@ def main():
                 t_last = time.perf_counter()  # don't count eval in img/s
             if step % cfg.train.checkpoint_every == 0 or \
                     step >= cfg.train.max_iter - 20:
-                ckpt.save(state, metrics=metrics_for_ckpt)
+                ckpt.save(state, metrics=metrics_for_ckpt,
+                          is_coordinator=jax.process_index() == 0)
                 metrics_for_ckpt = None  # only fresh val scores rotate best
             if step >= cfg.train.max_iter:
                 break
     if args.eval_every:
         metrics_for_ckpt = run_validation(state, step)
-    ckpt.save(state, metrics=metrics_for_ckpt)
+    ckpt.save(state, metrics=metrics_for_ckpt,
+              is_coordinator=jax.process_index() == 0)
     ckpt.wait()
     logging.info("done at step %d", step)
 

@@ -76,6 +76,22 @@ class DataConfig:
     # frequency-domain transforms (dataloaders.py:24-79) — off by default,
     # matching the reference's commented-out pipelines
     freq_transform: Optional[str] = None   # None | 'hpf' | 'lpf' | 'phot'
+    # Class-uniform sampling (reference config.py:53-54, consumed nowhere in
+    # the live path — schema completeness): fraction of train samples whose
+    # scale+crop is centroid-biased toward rare classes via the ClassUniform
+    # joint transform (transforms/joint_transforms.py:552-685).
+    class_uniform_pct: float = 0.0
+    class_uniform_classes: Tuple[int, ...] = (16, 15, 14)  # train/bus/truck
+    # Per-batch class-weighted CE (reference config.py:56, dead knob there;
+    # semantics follow the RobustNet harness it was inherited from:
+    # ENet-style 1/ln(1.02+freq) weights from the batch label histogram).
+    batch_weighting: bool = False
+    # Border-relaxation knobs (reference config.py:58-64, dead there; they
+    # parameterize RelaxedBoundaryLossToTensor in data.transforms).
+    border_window: int = 1
+    reduce_border_iter: int = -1
+    reduce_border_epoch: int = -1
+    strict_border_class: Optional[Tuple[int, ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,6 +107,11 @@ class TrainConfig:
     # mixed precision: params fp32, conv/matmul compute bf16, norms fp32
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # None (f32, torch-bitwise) | 'bfloat16' (half the momentum HBM traffic)
+    momentum_dtype: Optional[str] = None
+    # fuse bottleneck 1x1-conv + BN-stat epilogues into one Pallas pass
+    # (train-path only; A/B'd on TPU — see ops/pallas_dot_stats.py)
+    fuse_bn_stats: bool = False
     checkpoint_dir: str = "/tmp/mrfp_tpu_ckpt"
     checkpoint_every: int = 1000
     keep_checkpoints: int = 3

@@ -7,6 +7,7 @@ entry point has identical semantics in both paths (tests cover parity).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import tempfile
@@ -28,20 +29,34 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        so_path = os.path.join(tempfile.gettempdir(), "libmrfpnative.so")
+        # -march=native: compiled lazily on the deployment host, so
+        # host-specific SIMD is safe and vectorizes the color math.
+        # -ffp-contract=off: FMA contraction changes the rounding of
+        # a*b+c chains and breaks bit-exactness vs the PIL oracle
+        # (the jitter kernels' contract); SIMD stays enabled.
+        flags = ["-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC", "-std=c++17", "-pthread"]
         try:
-            if (not os.path.exists(so_path) or
-                    os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
-                # -march=native: compiled lazily on the deployment host, so
-                # host-specific SIMD is safe and vectorizes the color math.
-                # -ffp-contract=off: FMA contraction changes the rounding of
-                # a*b+c chains and breaks bit-exactness vs the PIL oracle
-                # (the jitter kernels' contract); SIMD stays enabled.
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-ffp-contract=off",
-                     "-shared", "-fPIC", "-std=c++17", "-pthread",
-                     _SRC, "-o", so_path],
-                    check=True, capture_output=True)
+            # Cache in a per-user dir (0700) and key the filename on a hash of
+            # the source + flags + host arch: no mtime races, no other user's
+            # (or other CPU's) .so can ever be CDLL'd, and any source or flag
+            # change produces a fresh build.
+            with open(_SRC, "rb") as f:
+                src_bytes = f.read()
+            key = hashlib.sha256(
+                src_bytes + "\0".join(flags).encode()
+                + os.uname().machine.encode()).hexdigest()[:16]
+            cache_dir = os.path.join(
+                tempfile.gettempdir(), f"mrfpnative-{os.getuid()}")
+            os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+            if os.stat(cache_dir).st_uid != os.getuid():
+                raise OSError(f"{cache_dir} not owned by current user")
+            so_path = os.path.join(cache_dir, f"libmrfpnative-{key}.so")
+            if not os.path.exists(so_path):
+                tmp = so_path + f".build{os.getpid()}"
+                subprocess.run(["g++", *flags, _SRC, "-o", tmp],
+                               check=True, capture_output=True)
+                os.replace(tmp, so_path)
             lib = ctypes.CDLL(so_path)
             lib.remap_u8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_int64, ctypes.c_void_p]

@@ -35,6 +35,17 @@ def recursive_glob(rootdir: str, suffix: str) -> List[str]:
         for fn in files if fn.endswith(suffix))
 
 
+class _JointAdapter:
+    """Bridge a (img, mask) joint transform into the sample-dict protocol."""
+
+    def __init__(self, joint):
+        self.joint = joint
+
+    def __call__(self, sample):
+        img, mask = self.joint(sample["image"], sample["label"])
+        return {"image": img, "label": mask}
+
+
 class _SegDataset:
     """Common skeleton: file list + label-path rule + encode + transforms."""
 
@@ -50,7 +61,9 @@ class _SegDataset:
                  random_flip: bool = True,
                  color_jitter=(0.5, 0.2, 0.2, 0.3),
                  scale_range=(0.5, 2.0),
-                 gaussian_blur: bool = True):
+                 gaussian_blur: bool = True,
+                 class_uniform_pct: float = 0.0,
+                 class_uniform_classes=(16, 15, 14)):
         self.root = root
         self.split = split
         self.train = train
@@ -64,6 +77,11 @@ class _SegDataset:
         self.color_jitter = tuple(color_jitter) if color_jitter else None
         self.scale_range = tuple(scale_range)
         self.gaussian_blur = gaussian_blur
+        # CLASS_UNIFORM_PCT (reference config.py:53-54; dead in its live
+        # path, so 0.0 default): fraction of train samples whose scale+crop
+        # is the centroid-biased ClassUniform instead of RandomSizeAndCrop
+        self.class_uniform_pct = float(class_uniform_pct)
+        self.class_uniform_classes = tuple(class_uniform_classes)
         # optional HPF/LPF/PHOT slot (the reference keeps these commented in
         # its pipelines, dataloaders.py:24-79 / main.py:325-327)
         self.freq_transform = freq_transform
@@ -151,11 +169,22 @@ class _SegDataset:
     def _train_tf_scalecrop(self, rng=None, nprng=None):
         rng = rng or self.rng
         nprng = nprng if nprng is not None else self.nprng
+        scale_crop = tr.RandomSizeAndCrop(
+            self.crop_size, crop_nopad=False,
+            scale_min=self.scale_range[0], scale_max=self.scale_range[1],
+            ignore_index=255, pre_size=None, rng=rng)
+        if self.class_uniform_pct > 0.0 and rng.random() < self.class_uniform_pct:
+            # centroid-biased crop for this sample (CLASS_UNIFORM_PCT wiring;
+            # the gate draw rides the per-sample rng so threading stays
+            # deterministic)
+            from mrfp_tpu.data.joint_transforms import ClassUniform
+            scale_crop = _JointAdapter(ClassUniform(
+                self.crop_size, crop_nopad=False,
+                scale_min=self.scale_range[0], scale_max=self.scale_range[1],
+                ignore_index=255,
+                class_list=list(self.class_uniform_classes), rng=rng))
         return tr.Compose(self._aug_head(rng, nprng) + [
-            tr.RandomSizeAndCrop(self.crop_size, crop_nopad=False,
-                                 scale_min=self.scale_range[0],
-                                 scale_max=self.scale_range[1],
-                                 ignore_index=255, pre_size=None, rng=rng),
+            scale_crop,
             tr.Resize(self.crop_size, self.crop_size),
         ] + ([tr.RandomGaussianBlur(rng)] if self.gaussian_blur else [])
             + self._freq_tail())

@@ -79,7 +79,9 @@ class PointwiseConv(nn.Module):
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
                             (1, 1, cin, self.features), jnp.float32)
-        dt = self.dtype or x.dtype
+        # dtype=None matches flax promotion: promote x.dtype with the f32
+        # params, so bf16 inputs compute in f32 exactly like nn.Conv would.
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
         y = jnp.dot(x.astype(dt).reshape(-1, cin), kernel[0, 0].astype(dt))
         y = y.reshape(*x.shape[:-1], self.features)
         if self.use_bias:
@@ -87,6 +89,39 @@ class PointwiseConv(nn.Module):
                               (self.features,), jnp.float32)
             y = y + bias.astype(dt)
         return y
+
+
+class DotConv1x1Stats(nn.Module):
+    """1x1 conv as a dot that ALSO emits per-channel BN statistics from the
+    same VMEM pass (ops/pallas_dot_stats.py) — saves the BN-stat re-read of
+    the conv output on the bandwidth-bound train step.
+
+    Param pytree identical to ``conv2d(features, 1, stride, 0)`` (HWIO
+    (1,1,Cin,Cout) "kernel", no bias), so it is checkpoint-interchangeable
+    with the nn.Conv form at every bottleneck site (network/Resnet.py:
+    148-227). A strided 1x1 conv reads only the kept pixels, so stride is a
+    slice before the dot — bit-identical to the conv.
+    """
+
+    features: int
+    stride: int = 1
+    kernel_init: nn.initializers.Initializer = kaiming_fan_out
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        from mrfp_tpu.ops.pallas_dot_stats import dot_with_stats
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (1, 1, cin, self.features), jnp.float32)
+        if self.stride != 1:
+            x = x[:, ::self.stride, ::self.stride, :]
+        dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        n, h, w, _ = x.shape
+        y, s1, s2 = dot_with_stats(x.astype(dt).reshape(-1, cin),
+                                   kernel[0, 0].astype(dt))
+        return (y.reshape(n, h, w, self.features), s1, s2,
+                n * h * w)
 
 
 def max_pool_3x3_s2(x):

@@ -40,7 +40,11 @@ class BatchNorm(nn.Module):
     affine: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, stats=None):
+        """``stats``: optional precomputed ``(sum, sumsq, count)`` fp32
+        per-channel sums of ``x`` (a producer with a fused stats epilogue,
+        ops/pallas_dot_stats.py). Identical math to the in-place reduction
+        — mean = s1/n, biased var = s2/n - mean^2 — without re-reading x."""
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(self.features, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -48,12 +52,17 @@ class BatchNorm(nn.Module):
         xf = x.astype(jnp.float32)
         if train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
-            if not self.is_initializing():
+            if stats is not None:
+                s1, s2, n = stats
+                mean = s1 / n
+                var = s2 / n - jnp.square(mean)
+            else:
                 n = 1
                 for a in axes:
                     n *= x.shape[a]
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean

@@ -109,8 +109,7 @@ class Bottleneck(nn.Module):
         out_ch = self.planes * 4
         residual = x  # downsample also reads the UNPERTURBED x
         conv1_in = x if inject is None or inject[0] != 1 else x + inject[1]
-        out = conv2d(width, 1, 1, 0, dtype=self.dtype, name="conv1")(conv1_in)
-        out = BatchNorm(width, name="bn1")(out, train)
+        out = self._conv1x1_bn(conv1_in, width, 1, "conv1", "bn1", train)
         out = nn.relu(out)
         if inject is not None and inject[0] == 2:
             out = out + inject[1]
@@ -118,16 +117,30 @@ class Bottleneck(nn.Module):
                      groups=self.groups, dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(width, name="bn2")(out, train)
         out = nn.relu(out)
-        out = conv2d(out_ch, 1, 1, 0, dtype=self.dtype, name="conv3")(out)
-        out = BatchNorm(out_ch, name="bn3")(out, train)
+        out = self._conv1x1_bn(out, out_ch, 1, "conv3", "bn3", train)
         if self.downsample:
-            residual = conv2d(out_ch, 1, self.stride, 0,
-                              dtype=self.dtype, name="downsample_conv")(x)
-            residual = BatchNorm(out_ch, name="downsample_bn")(residual, train)
+            residual = self._conv1x1_bn(x, out_ch, self.stride,
+                                        "downsample_conv", "downsample_bn",
+                                        train)
         out = out + residual
         layer = make_iw_layer(self.iw, out_ch, "instance_norm_layer")
         out = apply_iw(layer, self.iw, out, w_arr, train)
         return nn.relu(out)
+
+    def _conv1x1_bn(self, x, feat: int, stride: int, cname: str, bname: str,
+                    train: bool):
+        """1x1 conv + BN, optionally with the fused stats epilogue (the
+        dot emits the BN sums in the same VMEM pass — no re-read; opted in
+        per-trace via cfg.train.fuse_bn_stats). Same param pytree either
+        way, so checkpoints are interchangeable."""
+        from mrfp_tpu.ops.pallas_dot_stats import bn_stats_fusion_active
+        if train and bn_stats_fusion_active():
+            from mrfp_tpu.nn.layers import DotConv1x1Stats
+            y, s1, s2, n = DotConv1x1Stats(
+                feat, stride=stride, dtype=self.dtype, name=cname)(x)
+            return BatchNorm(feat, name=bname)(y, train, stats=(s1, s2, n))
+        y = conv2d(feat, 1, stride, 0, dtype=self.dtype, name=cname)(x)
+        return BatchNorm(feat, name=bname)(y, train)
 
 
 class _Stage(nn.Module):

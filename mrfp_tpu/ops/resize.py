@@ -102,6 +102,20 @@ def _take_rows(x: jnp.ndarray, idx: np.ndarray, axis: int,
     raise ValueError(axis)
 
 
+def _fused_nearest_fits(x, oh: int, ow: int) -> bool:
+    """VMEM-fit guard for the fused nearest route (mirrors the bilinear
+    guard): per-block rows for fwd AND the inverted-taps bwd, plus the dense
+    (ow, w) W-mix matrix. The bwd kernel gathers up to m = ceil(oh/h)+1
+    cotangent rows of width ow per input row."""
+    from mrfp_tpu.ops.pallas_resize import _VMEM_BUDGET
+    w, c, h = x.shape[2], x.shape[3], x.shape[1]
+    item = x.dtype.itemsize
+    fwd = (w + ow) * c * item + ow * w * item
+    m = -(-oh // max(h, 1)) + 1
+    bwd = (m * ow + w) * c * item + ow * w * item
+    return max(fwd, bwd) <= _VMEM_BUDGET
+
+
 def resize_nearest(x: jnp.ndarray,
                    size: Optional[Tuple[int, int]] = None,
                    scale: Optional[Tuple[float, float]] = None,
@@ -125,8 +139,12 @@ def resize_nearest(x: jnp.ndarray,
         ix = _nearest_idx_from_size(w, size[1])
     if impl == "fused":
         # single layout-preserving Pallas kernel for both axes (TPU train
-        # hot path — the OC branch); falls back off-TPU and under a mesh
-        if jax.default_backend() == "tpu" and x.ndim == 4 and _PALLAS_OK.get():
+        # hot path — the OC branch); falls back off-TPU, under a mesh, and
+        # when a block would not fit VMEM (same guard as the bilinear route:
+        # larger-than-expected OC maps must degrade to einsum, not fail at
+        # Mosaic compile time)
+        if (jax.default_backend() == "tpu" and x.ndim == 4
+                and _PALLAS_OK.get() and _fused_nearest_fits(x, len(iy), len(ix))):
             from mrfp_tpu.ops.pallas_resize import resize_nearest_fused
             return resize_nearest_fused(x, tuple(int(i) for i in iy),
                                         tuple(int(i) for i in ix))

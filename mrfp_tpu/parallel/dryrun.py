@@ -151,7 +151,7 @@ def launch_multiprocess(n_processes: int = 2, devices_per_proc: int = 2,
                 q.kill()
             raise
         outs.append(out)
-    losses = []
+    losses, mious = [], []
     for rank, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
             raise RuntimeError(
@@ -159,8 +159,12 @@ def launch_multiprocess(n_processes: int = 2, devices_per_proc: int = 2,
         for line in out.splitlines():
             if line.startswith("MP_LOSS "):
                 losses.append(float(line.split()[1]))
+            if line.startswith("MP_MIOU "):
+                mious.append(float(line.split()[1]))
     assert len(losses) == n_processes, f"missing loss lines:\n{outs}"
     assert max(losses) - min(losses) <= 1e-6 * max(1.0, abs(losses[0])), losses
+    assert len(mious) == n_processes, f"missing miou lines:\n{outs}"
+    assert max(mious) == min(mious), f"ranks disagree on merged mIoU: {mious}"
     return losses
 
 
@@ -207,11 +211,29 @@ def run_multiprocess(rank: int, n_processes: int, port: int,
         mesh, (g_images[lo:lo + per_proc_bs], g_labels[lo:lo + per_proc_bs]))
 
     jtrain, _ = make_jitted_steps(model, cfg, mesh)
-    _state, metrics = jtrain(state, images, labels)
+    new_state, metrics = jtrain(state, images, labels)
     loss = float(metrics["loss"])
     assert np.isfinite(loss)
+
+    # Sharded multi-host validation (reference eval loop main.py:876-913,
+    # which every DDP rank would duplicate in full): each process scores a
+    # disjoint stride of the val set, partial hists merge via all-gather.
+    # The merged result must equal a full single-process sweep EXACTLY
+    # (integer histogram addition commutes).
+    from mrfp_tpu.data.datasets import SyntheticDataset
+    from mrfp_tpu.train.evaluator import SegEvaluator
+
+    val = SyntheticDataset(length=5, hw=(hw, hw), seed=7)
+    ev = SegEvaluator(model, new_state.params, new_state.batch_stats)
+    quiet = lambda *a, **k: None
+    sharded = ev.run(val, log=quiet, shard_rank=rank,
+                     shard_count=n_processes)
+    full = ev.run(val, log=quiet)  # every process sweeps all 5 images
+    assert np.array_equal(sharded["hist"], full["hist"]), (
+        "sharded-merged hist != full-sweep hist")
     print(f"MP_LOSS {loss!r} rank={rank} procs={jax.process_count()} "
           f"devices={n_global}", flush=True)
+    print(f"MP_MIOU {sharded['mean_iu']!r} rank={rank}", flush=True)
 
 
 if __name__ == "__main__":

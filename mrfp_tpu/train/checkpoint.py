@@ -8,11 +8,15 @@ and the RobustNet best/last rotation (utils/misc.py:162-231) with:
   optimizer state, step, base RNG key) every N steps,
 - automatic latest-step resume (the reference's time-derived rendezvous port
   made restarts flaky, SURVEY.md §5.3 — here resume is one call),
-- best-by-mIoU retention alongside the rolling window.
+- best-by-mIoU retention alongside the rolling window. The best value/step
+  are persisted to ``best/metric.json`` so a restart cannot regress ``best/``
+  (the RobustNet harness stores the best metric inside its checkpoint dict,
+  utils/misc.py:162-231; here it rides the run dir).
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Optional
 
@@ -35,21 +39,60 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
         self.best_metric = best_metric
         self._best_value = -np.inf
+        self._best_step: Optional[int] = None
+        self._load_best_record()
 
-    def save(self, state: TrainState, metrics: Optional[dict] = None):
+    # -- best-metric persistence ------------------------------------------
+    @property
+    def _best_record_path(self) -> str:
+        return os.path.join(self.directory, "best", "metric.json")
+
+    def _load_best_record(self):
+        """Restore the best value/step from the run dir (restart safety)."""
+        try:
+            with open(self._best_record_path) as f:
+                rec = json.load(f)
+            self._best_value = float(rec["value"])
+            self._best_step = rec.get("step")
+        except (OSError, ValueError, KeyError):
+            pass
+
+    def _write_best_record(self, step: int):
+        tmp = self._best_record_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"metric": self.best_metric,
+                       "value": float(self._best_value),
+                       "step": step}, f)
+        os.replace(tmp, self._best_record_path)
+
+    def save(self, state: TrainState, metrics: Optional[dict] = None,
+             is_coordinator: bool = True):
+        """Save a rolling checkpoint and rotate ``best/`` on a new best.
+
+        ``is_coordinator``: in a multi-process run only process 0 should
+        rotate the best dir (Orbax coordinates the rolling save itself, but
+        the shutil rotation + metric.json write are plain filesystem ops).
+        """
         step = int(state.step)
         if step not in (self._mgr.all_steps() or []):
             self._mgr.save(step, args=ocp.args.StandardSave(state))
         if metrics and metrics.get(self.best_metric, -np.inf) > self._best_value:
             self._best_value = metrics[self.best_metric]
-            best_dir = os.path.join(self.directory, "best")
-            # rotation: one best checkpoint at a time (utils/misc.py:162-231
-            # deletes the previous best .pth the same way)
-            if os.path.isdir(best_dir):
-                import shutil
-                shutil.rmtree(best_dir)
-            ocp.StandardCheckpointer().save(
-                os.path.join(best_dir, f"step_{step}"), state, force=True)
+            self._best_step = step
+            if is_coordinator:
+                best_dir = os.path.join(self.directory, "best")
+                # rotation: one best checkpoint at a time (utils/misc.py:
+                # 162-231 deletes the previous best .pth the same way)
+                if os.path.isdir(best_dir):
+                    import shutil
+                    shutil.rmtree(best_dir)
+                ckptr = ocp.StandardCheckpointer()
+                ckptr.save(os.path.join(best_dir, f"step_{step}"), state,
+                           force=True)
+                # block until committed: metric.json must never describe a
+                # best/ that a crash could leave half-written
+                ckptr.wait_until_finished()
+                self._write_best_record(step)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

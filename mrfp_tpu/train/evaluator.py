@@ -48,6 +48,22 @@ def pad_to_bucket(img: np.ndarray, lbl: np.ndarray, bucket: int = 128,
     return pimg, plbl
 
 
+def merge_shard_hists(hist_np: np.ndarray, shard_count: int) -> np.ndarray:
+    """Sum per-process partial confusion matrices.
+
+    Cross-process merge uses an all-gather (every process gets the full
+    histogram, so every rank logs/returns identical metrics — matching the
+    single-process protocol bit-for-bit since hist addition is integer).
+    With one process (e.g. a single-host test driving shards sequentially),
+    the caller sums partials itself.
+    """
+    if shard_count <= 1 or jax.process_count() <= 1:
+        return hist_np
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(hist_np)
+    return np.sum(np.asarray(gathered), axis=0).astype(np.int64)
+
+
 class SegEvaluator:
     """Streaming per-domain mIoU evaluator."""
 
@@ -83,11 +99,17 @@ class SegEvaluator:
         return self._hist_update(hist, pred, label)
 
     def run(self, dataset, max_images: Optional[int] = None,
-            log=print) -> Dict[str, object]:
+            log=print, shard_rank: int = 0,
+            shard_count: int = 1) -> Dict[str, object]:
+        """Evaluate ``dataset``; with ``shard_count`` > 1, this process scores
+        only images ``i % shard_count == shard_rank`` and the partial
+        histograms are summed across processes before the metric — the
+        multi-host split of the reference's eval loop (main.py:876-913),
+        which every DDP rank would otherwise duplicate in full."""
         hist = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
         dropped = 0
         n = len(dataset) if max_images is None else min(len(dataset), max_images)
-        for i in range(n):
+        for i in range(shard_rank, n, max(1, shard_count)):
             sample = dataset[i]
             img = np.asarray(sample["image"], np.float32)
             lbl = np.asarray(sample["label"], np.int32)
@@ -110,6 +132,7 @@ class SegEvaluator:
                     variables, hist, img[None], lbl[None],
                     jnp.asarray([vh, vw], jnp.int32))
         hist_np = np.asarray(jax.device_get(hist)).astype(np.int64)
+        hist_np = merge_shard_hists(hist_np, shard_count)
         result = evaluate_hist(hist_np, dataset_name=getattr(dataset, "name", "?"),
                                id2cat=getattr(dataset, "id2cat", None), log=log)
         result["dropped"] = dropped

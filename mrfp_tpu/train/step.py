@@ -21,7 +21,7 @@ from mrfp_tpu.core.config import Config
 from mrfp_tpu.core.rng import step_keys
 from mrfp_tpu.models.mrfp import PerturbArgs
 from mrfp_tpu.perturb.oc_branch import oc_maybe_resample
-from mrfp_tpu.train.losses import cross_entropy
+from mrfp_tpu.train.losses import batch_class_weights, cross_entropy
 from mrfp_tpu.train.state import TrainState, make_optimizer
 
 
@@ -56,12 +56,20 @@ def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
                               key_np0=keys["np_l0"], key_np1=keys["np_l1"],
                               oc_params=oc_params)
 
+    # BATCH_WEIGHTING (config.py:56; dead in the reference's live path):
+    # per-batch rare-class upweighting of the CE. Computed outside loss_fn —
+    # the weights are a function of the labels only, no gradient flows.
+    cw = (batch_class_weights(labels, cfg.model.num_classes,
+                              cfg.data.ignore_index)
+          if cfg.data.batch_weighting else None)
+
     def loss_fn(params):
         out, mutated = model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             images, train=True, perturb=perturb, mutable=["batch_stats"],
             rngs={"dropout": keys["dropout"]})
-        loss = cross_entropy(out["logits"], labels, cfg.data.ignore_index)
+        loss = cross_entropy(out["logits"], labels, cfg.data.ignore_index,
+                             class_weights=cw)
         if "dsn" in out:
             # DSN aux head: CE against nearest-downsampled labels, weight 0.4
             # (network/deepv3.py:570-577; zoo_step uses the same recipe)
@@ -106,6 +114,22 @@ def make_jitted_steps(model, cfg: Config, mesh: Optional[Mesh] = None):
     """
     t = functools.partial(train_step, model=model, cfg=cfg)
     e = functools.partial(eval_step, model=model)
+
+    if cfg.train.fuse_bn_stats:
+        # trace-time opt-in: bottleneck 1x1+BN pairs emit their BN sums from
+        # the conv's own VMEM pass (ops/pallas_dot_stats.py). Single-device
+        # TPU only — the multi-device branch below disables Pallas anyway.
+        from mrfp_tpu.ops.pallas_dot_stats import bn_stats_fusion
+
+        def _with_fusion(f):
+            @functools.wraps(f)
+            def g(*args, **kwargs):
+                with bn_stats_fusion(True):
+                    return f(*args, **kwargs)
+            return g
+
+        t = _with_fusion(t)
+
     if mesh is None:
         return jax.jit(t, donate_argnums=0), jax.jit(e)
 

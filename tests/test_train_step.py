@@ -109,6 +109,80 @@ def test_cross_entropy_matches_torch():
     assert abs(ours - float(t)) < 1e-6
 
 
+def test_weighted_cross_entropy_matches_torch():
+    """class_weights semantics must equal torch CE(weight=...) with 'mean'
+    reduction: sum(w[y]*nll)/sum(w[y]) over valid pixels (BATCH_WEIGHTING)."""
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((2, 8, 8, 19)).astype(np.float32)
+    labels = rng.integers(0, 19, (2, 8, 8)).astype(np.int64)
+    labels[1, :2, :] = 255
+    w = rng.uniform(0.5, 2.0, 19).astype(np.float32)
+    ours = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels),
+                               class_weights=jnp.asarray(w)))
+    t = torch.nn.functional.cross_entropy(
+        torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))),
+        torch.from_numpy(labels), weight=torch.from_numpy(w),
+        ignore_index=255)
+    assert abs(ours - float(t)) < 1e-6
+
+
+def test_batch_class_weights_formula():
+    """RobustNet calculate_weights: w = (hist>0)*ub*(1-hist_norm) + 1."""
+    from mrfp_tpu.train.losses import batch_class_weights
+    labels = np.full((1, 4, 4), 255, np.int32)
+    labels[0, 0, :4] = 3          # 4 px of class 3
+    labels[0, 1, :2] = 7          # 2 px of class 7 -> hist (4/6, 2/6)
+    w = np.asarray(batch_class_weights(jnp.asarray(labels), 19))
+    exp = np.ones(19, np.float32)
+    exp[3] = 1 + (1 - 4 / 6)
+    exp[7] = 1 + (1 - 2 / 6)
+    np.testing.assert_allclose(w, exp, rtol=1e-6)
+
+
+def test_train_step_batch_weighting_runs():
+    """cfg.data.batch_weighting=True changes the loss but still trains."""
+    import dataclasses
+    cfg, model, state, images, labels, _ = _tiny_setup(0)
+    cfg_w = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                 batch_weighting=True))
+    jtrain_w, _ = make_jitted_steps(model, cfg_w, None)
+    _s, m = jtrain_w(state, jnp.asarray(images), jnp.asarray(labels))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_fuse_bn_stats_matches_unfused():
+    """cfg.train.fuse_bn_stats routes bottleneck 1x1+BN pairs through the
+    stats-emitting dot (ops/pallas_dot_stats.py; XLA-fallback on CPU but the
+    same (sum,sumsq,count) BN code path). The step must match the unfused
+    one to reduction-order tolerance, including running-stat updates."""
+    import dataclasses
+    cfg, model, state, images, labels, _ = _tiny_setup(0)
+    # resnet-18 has BasicBlocks only; use a bottleneck trunk
+    model = MRFP(trunk="resnet-50", variant="D32", wt_layer=(0,) * 7,
+                 hrfp_plus=True)
+    state = create_train_state(model, cfg.train, (1, 32, 32, 3),
+                               oc_params=oc_init(jax.random.PRNGKey(1)))
+    cfg_f = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                  fuse_bn_stats=True))
+    jt_plain, _ = make_jitted_steps(model, cfg, None)
+    jt_fused, _ = make_jitted_steps(model, cfg_f, None)
+    s1, m1 = jt_plain(state, jnp.asarray(images), jnp.asarray(labels))
+    state2 = create_train_state(model, cfg.train, (1, 32, 32, 3),
+                                oc_params=oc_init(jax.random.PRNGKey(1)))
+    s2, m2 = jt_fused(state2, jnp.asarray(images), jnp.asarray(labels))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    # running stats of a bottleneck BN fed by the fused path
+    a = jax.tree_util.tree_leaves(s1.batch_stats)
+    b = jax.tree_util.tree_leaves(s2.batch_stats)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+    for x, y in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_donation_invalidates_old_state():
     """The train step donates its input state (in-place param update, no HBM
     spike); the old buffers must be dead afterwards (SURVEY.md §5.2 aliasing
