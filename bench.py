@@ -27,9 +27,10 @@ A100_PYTORCH_IMG_PER_SEC = 18.0  # estimated reference throughput (see docstring
 
 def main():
     # persistent compilation cache: the ~5 min first-compile of the 768^2
-    # train step is paid once per machine, not per bench run
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mrfp_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # train step is paid once per machine, not per bench run (MRFP_JAX_CACHE
+    # overrides the location; empty disables)
+    from mrfp_tpu.utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     # rbg PRNG: ~2.5% faster step (the in-graph OC re-init draws 3.7M
     # normals); still fully deterministic per (key, step)
     jax.config.update("jax_default_prng_impl", "rbg")

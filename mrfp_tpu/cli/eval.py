@@ -74,12 +74,22 @@ def load_model_and_params(args):
         from mrfp_tpu.train import create_train_state
         from mrfp_tpu.train.checkpoint import CheckpointManager
 
-        template = create_train_state(model, Config().train, (1, 64, 64, 3),
-                                      oc_params=oc_init(jax.random.PRNGKey(1)))
         mgr = CheckpointManager(args.ckpt)
-        state = mgr.restore(template)
+        # MRFP+/MRFP runs carry OC params in the state; baseline runs store
+        # None there — try the perturbed template first, fall back to the
+        # baseline structure on mismatch
+        state = None
+        for oc in (oc_init(jax.random.PRNGKey(1)), None):
+            template = create_train_state(model, Config().train,
+                                          (1, 64, 64, 3), oc_params=oc)
+            try:
+                state = mgr.restore(template)
+                break
+            except Exception:
+                continue
         if state is None:
-            raise FileNotFoundError(f"no checkpoint under {args.ckpt}")
+            raise FileNotFoundError(
+                f"no restorable checkpoint under {args.ckpt}")
         params, stats = state.params, state.batch_stats
     return model, params, stats
 
@@ -87,6 +97,8 @@ def load_model_and_params(args):
 def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO)
+    from mrfp_tpu.utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     model, params, stats = load_model_and_params(args)
 
     from mrfp_tpu.data.datasets import DATASETS, VAL_SPLITS, SyntheticDataset

@@ -48,6 +48,14 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--oc-conditional", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="compute the OC halves under lax.cond (fastest on "
+                        "TPU). --no-oc-conditional selects the reference-"
+                        "style always-compute form — same math, and a "
+                        "workaround when the AOT compile of the cond-gated "
+                        "step crashes (observed on some libtpu/compile-"
+                        "helper rolls at small crop sizes)")
     p.add_argument("--use-dsn", action="store_true",
                    help="auxiliary DSN head on layer3 (0.4-weighted CE)")
     p.add_argument("--freq-transform", default=None,
@@ -153,6 +161,9 @@ def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO)
 
+    from mrfp_tpu.utils import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
     # multi-host bootstrap BEFORE any device query (main.py:42-52 equivalent)
     from mrfp_tpu.parallel.dist import initialize_distributed
     multiproc = initialize_distributed(args.coordinator_address,
@@ -189,7 +200,7 @@ def main():
     model = MRFP(num_classes=cfg.model.num_classes, trunk=cfg.model.trunk,
                  variant=cfg.model.variant, wt_layer=cfg.model.wt_layer,
                  hrfp_plus=cfg.model.hrfp_plus, use_dsn=cfg.model.use_dsn_aux,
-                 dtype=dtype)
+                 oc_conditional=args.oc_conditional, dtype=dtype)
     oc = oc_init(jax.random.PRNGKey(args.seed + 1)) if cfg.perturb.enabled \
         else None
     state = create_train_state(model, cfg.train, (1, 64, 64, 3), oc_params=oc)

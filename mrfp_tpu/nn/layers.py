@@ -147,21 +147,30 @@ class Conv7x7S2D(nn.Module):
     (checkpoint parity); the rearrangement is a cheap traced reshape of the
     9.4k-element kernel, so gradients flow unchanged.
 
-    Falls back to the direct conv for odd spatial sizes (Mapillary heights).
+    Falls back to the direct conv for odd spatial sizes (Mapillary heights)
+    and when ``prefer_direct=True`` with an f32 compute dtype. Measured on
+    1024x2048 eval (v5e, 2026-08-17): the S2D input rearrangement costs
+    4.8 ms/img at f32 (reshape.8 3.7 + copy.118 1.1 in the profile) and the
+    direct conv wins 35.2 -> 36.9 img/s; at bf16 the rearrangement bytes
+    halve while the 3-channel MXU starvation it fixes does not, and S2D
+    still wins (48.5 vs 46.3 direct). So: train always S2D (+0.5% on the
+    bs8 768^2 bf16 step), eval S2D iff compute dtype is sub-f32. Both paths
+    share the reference 7x7 param — purely a lowering choice.
     """
 
     features: int = 64
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, prefer_direct: bool = False):
         kernel = self.param("kernel", kaiming_fan_out,
                             (7, 7, x.shape[-1], self.features), jnp.float32)
         import jax.lax as lax
 
         n, h, w, c = x.shape
         dtype = self.dtype or x.dtype
-        if h % 2 or w % 2:
+        direct = prefer_direct and jnp.dtype(dtype).itemsize >= 4
+        if direct or h % 2 or w % 2:
             return lax.conv_general_dilated(
                 x.astype(dtype), kernel.astype(dtype), (2, 2),
                 [(3, 3), (3, 3)],

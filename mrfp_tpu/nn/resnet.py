@@ -260,7 +260,12 @@ class ResNet(nn.Module):
                 x = self._stem_norm(iw_mod, code, x, w_arr, train)
                 x = nn.relu(x)
         else:
-            x = self.conv1(x)
+            if isinstance(self.conv1, Conv7x7S2D):
+                # space-to-depth stem only where it wins (see Conv7x7S2D
+                # docstring: always for train, bf16-only for eval)
+                x = self.conv1(x, prefer_direct=not train)
+            else:
+                x = self.conv1(x)
             x = self._stem_norm(self.stem_iw1, self.wt_layer[2], x, w_arr, train)
             x = nn.relu(x)
         return max_pool_3x3_s2(x)

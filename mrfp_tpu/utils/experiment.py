@@ -17,6 +17,23 @@ import os
 from typing import Any, Dict
 
 
+def enable_persistent_compile_cache() -> None:
+    """Point JAX at an on-disk compilation cache (MRFP_JAX_CACHE, default
+    /tmp/mrfp_tpu_jax_cache; set empty to disable). First compile of the
+    768^2 train step is ~5 min through the axon tunnel, and a cached
+    program also survives remote compile-helper rolls that later crash on
+    the same graph (observed 2026-08-17: a helper update SIGSEGVs on fresh
+    AOT compiles of the cond-gated MRFP+ step at small crops while cached
+    executables keep running)."""
+    cache = os.environ.get("MRFP_JAX_CACHE", "/tmp/mrfp_tpu_jax_cache")
+    if not cache:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+
 def make_exp_name(cfg) -> str:
     """Compact run name from the salient knobs (misc.py:24-63 spirit)."""
     m, p, t = cfg.model, cfg.perturb, cfg.train
