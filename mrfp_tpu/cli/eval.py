@@ -24,7 +24,9 @@ def parse_args():
     p.add_argument("--data-root", default="/data")
     p.add_argument("--domains", nargs="+",
                    default=["bdd100k", "cityscapes", "synthia",
-                            "mapillary", "gtav"])
+                            "mapillary", "gtav"],
+                   help="domain names, or 'all' for the 5-domain "
+                        "reference sweep")
     p.add_argument("--trunk", default="resnet-50")
     p.add_argument("--variant", default="D16")
     p.add_argument("--eval-size", type=int, default=1536)
@@ -78,18 +80,23 @@ def load_model_and_params(args):
         # MRFP+/MRFP runs carry OC params in the state; baseline runs store
         # None there — try the perturbed template first, fall back to the
         # baseline structure on mismatch
-        state = None
+        state, errors = None, []
         for oc in (oc_init(jax.random.PRNGKey(1)), None):
             template = create_train_state(model, Config().train,
                                           (1, 64, 64, 3), oc_params=oc)
             try:
                 state = mgr.restore(template)
                 break
-            except Exception:
-                continue
+            except Exception as e:  # structure mismatch, corruption, IO...
+                errors.append(f"{'mrfp+' if oc else 'baseline'} template: "
+                              f"{type(e).__name__}: {e}")
         if state is None:
+            # surface every attempt: a corrupted/incompatible checkpoint
+            # must not masquerade as a missing one
             raise FileNotFoundError(
-                f"no restorable checkpoint under {args.ckpt}")
+                f"no restorable checkpoint under {args.ckpt}; attempts:\n"
+                + "\n".join(errors) if errors else
+                f"no checkpoint under {args.ckpt}")
         params, stats = state.params, state.batch_stats
     return model, params, stats
 
@@ -107,6 +114,9 @@ def main():
     evaluator = SegEvaluator(model, params, stats,
                              strict_pairs=args.strict_pairs,
                              bucket=args.bucket)
+    if args.domains == ["all"]:
+        args.domains = ["bdd100k", "cityscapes", "synthia", "mapillary",
+                        "gtav"]
     results = {}
     for domain in args.domains:
         if args.synthetic:

@@ -18,7 +18,8 @@ plus a pre-warm recipe. Key protocol facts (resolving VERDICT round-2 weak
 - GTAV is the only mixed-shape domain (native val shapes, mostly 1914x1052
   with a tail of odd sizes); this census enumerates the real bill.
 
-With the persistent compile cache (bench.py sets /tmp/mrfp_tpu_jax_cache)
+With the persistent compile cache (the CLIs and bench.py enable a
+per-uid one; MRFP_JAX_CACHE overrides)
 each distinct shape is paid once per libtpu version, ~5 min through the
 axon tunnel; re-runs are seconds.
 """
@@ -85,7 +86,8 @@ def main():
     p.add_argument("--data-root", default="/data")
     p.add_argument("--domains", nargs="+",
                    default=["cityscapes", "bdd100k", "synthia", "mapillary",
-                            "gtav"])
+                            "gtav"],
+                   help="domain names, or 'all' for the 5-domain sweep")
     p.add_argument("--eval-size", type=int, default=1536)
     p.add_argument("--max-images", type=int, default=0)
     p.add_argument("--compile-minutes", type=float, default=5.0,
@@ -93,6 +95,9 @@ def main():
     p.add_argument("--json-out", default=None)
     args = p.parse_args()
 
+    if args.domains == ["all"]:
+        args.domains = ["cityscapes", "bdd100k", "synthia", "mapillary",
+                        "gtav"]
     report = {}
     for domain in args.domains:
         try:
@@ -118,7 +123,7 @@ def main():
         with open(args.json_out, "w") as f:
             json.dump(report, f, indent=1)
     print("\nRecipe for a parity sweep: run once with the persistent compile "
-          "cache (JAX_COMPILATION_CACHE_DIR=/tmp/mrfp_tpu_jax_cache) to "
+          "cache (enabled by the eval CLI; MRFP_JAX_CACHE overrides) to "
           "pre-warm every shape; use --bucket or the SlidingEvaluator for "
           "quick sweeps on long-tail-shape domains (only GTAV has one).")
 

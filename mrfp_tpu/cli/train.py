@@ -222,9 +222,17 @@ def main():
     val_dataset = build_dataset(args, cfg, train=False) \
         if args.eval_every else None
 
+    # ONE evaluator for all mid-training validations: params flow into its
+    # jitted hist step as arguments, so refreshing the attributes per call
+    # reuses the compiled program (a fresh SegEvaluator per validation would
+    # re-trace — and pay the ~5-min axon first-compile — every --eval-every)
+    evaluator = SegEvaluator(model, None, None,
+                             num_classes=cfg.model.num_classes) \
+        if args.eval_every else None
+
     def run_validation(state, step):
-        ev = SegEvaluator(model, state.params, state.batch_stats,
-                          num_classes=cfg.model.num_classes)
+        ev = evaluator
+        ev.params, ev.batch_stats = state.params, state.batch_stats
         # every process scores a disjoint stride of the val set; partial
         # histograms merge via all-gather so all ranks see the same mIoU
         res = ev.run(val_dataset, max_images=args.eval_max_images,

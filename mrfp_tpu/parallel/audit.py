@@ -71,8 +71,21 @@ def parse_collectives(hlo_text: str) -> List[Collective]:
         # -done (it has the same payload)
         if op.endswith("-done"):
             continue
-        op = base
         pairs = _shape_bytes(m.group(1))
+        if op.endswith("-start") and len(pairs) >= 2:
+            # An async -start's tuple shape aliases (operands..., results...,
+            # context...): counting every entry would double the payload.
+            # Keep the results: the second half when the tuple splits into
+            # two dtype-identical halves (k operands + k results), else
+            # everything after the first entry (single operand + result +
+            # scalar u32/s32 contexts, which are bytes-negligible).
+            half = len(pairs) // 2
+            if len(pairs) % 2 == 0 and [d for d, _ in pairs[:half]] == \
+                    [d for d, _ in pairs[half:]]:
+                pairs = pairs[half:]
+            else:
+                pairs = pairs[1:]
+        op = base
         found.append(Collective(
             op=op,
             dtypes=sorted({dt for dt, _ in pairs}),

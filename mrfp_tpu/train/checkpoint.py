@@ -69,9 +69,13 @@ class CheckpointManager:
              is_coordinator: bool = True):
         """Save a rolling checkpoint and rotate ``best/`` on a new best.
 
-        ``is_coordinator``: in a multi-process run only process 0 should
-        rotate the best dir (Orbax coordinates the rolling save itself, but
-        the shutil rotation + metric.json write are plain filesystem ops).
+        ``is_coordinator``: in a multi-process run the Orbax saves are
+        COLLECTIVE (Checkpointer.save opens with a global process barrier
+        and every process writes its addressable shards), so every process
+        must call this with the SAME metrics (the sharded validation's
+        all-gathered mIoU is identical on all ranks); only the plain
+        filesystem ops — the best-dir rotation and metric.json — are gated
+        on the coordinator.
         """
         step = int(state.step)
         if step not in (self._mgr.all_steps() or []):
@@ -79,19 +83,22 @@ class CheckpointManager:
         if metrics and metrics.get(self.best_metric, -np.inf) > self._best_value:
             self._best_value = metrics[self.best_metric]
             self._best_step = step
-            if is_coordinator:
-                best_dir = os.path.join(self.directory, "best")
+            best_dir = os.path.join(self.directory, "best")
+            if is_coordinator and os.path.isdir(best_dir):
                 # rotation: one best checkpoint at a time (utils/misc.py:
-                # 162-231 deletes the previous best .pth the same way)
-                if os.path.isdir(best_dir):
-                    import shutil
-                    shutil.rmtree(best_dir)
-                ckptr = ocp.StandardCheckpointer()
-                ckptr.save(os.path.join(best_dir, f"step_{step}"), state,
-                           force=True)
-                # block until committed: metric.json must never describe a
-                # best/ that a crash could leave half-written
-                ckptr.wait_until_finished()
+                # 162-231 deletes the previous best .pth the same way).
+                # Safe ordering: other processes park at the barrier inside
+                # ckptr.save below until the coordinator (who rmtree'd
+                # first) arrives there.
+                import shutil
+                shutil.rmtree(best_dir)
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(os.path.join(best_dir, f"step_{step}"), state,
+                       force=True)
+            # block until committed: metric.json must never describe a
+            # best/ that a crash could leave half-written
+            ckptr.wait_until_finished()
+            if is_coordinator:
                 self._write_best_record(step)
 
     def latest_step(self) -> Optional[int]:

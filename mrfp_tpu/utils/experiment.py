@@ -18,16 +18,29 @@ from typing import Any, Dict
 
 
 def enable_persistent_compile_cache() -> None:
-    """Point JAX at an on-disk compilation cache (MRFP_JAX_CACHE, default
-    /tmp/mrfp_tpu_jax_cache; set empty to disable). First compile of the
-    768^2 train step is ~5 min through the axon tunnel, and a cached
-    program also survives remote compile-helper rolls that later crash on
-    the same graph (observed 2026-08-17: a helper update SIGSEGVs on fresh
-    AOT compiles of the cond-gated MRFP+ step at small crops while cached
-    executables keep running)."""
-    cache = os.environ.get("MRFP_JAX_CACHE", "/tmp/mrfp_tpu_jax_cache")
+    """Point JAX at an on-disk compilation cache (MRFP_JAX_CACHE overrides,
+    set empty to disable). First compile of the 768^2 train step is ~5 min
+    through the axon tunnel, and a cached program also survives remote
+    compile-helper rolls that later crash on the same graph (observed
+    2026-08-17: a helper update SIGSEGVs on fresh AOT compiles of the
+    cond-gated MRFP+ step at small crops while cached executables keep
+    running).
+
+    The default lives in a per-user 0700 directory (cache entries are
+    deserialized and executed — a world-shared path would let another
+    local user plant executables, the same hazard class data/_native
+    guards against)."""
+    import tempfile
+
+    cache = os.environ.get(
+        "MRFP_JAX_CACHE",
+        os.path.join(tempfile.gettempdir(),
+                     f"mrfp_tpu_jax_cache-{os.getuid()}"))
     if not cache:
         return
+    os.makedirs(cache, mode=0o700, exist_ok=True)
+    if os.stat(cache).st_uid != os.getuid():
+        return  # pre-planted by someone else: run uncached rather than trust
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache)

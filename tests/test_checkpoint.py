@@ -79,13 +79,17 @@ def test_best_survives_restart():
         assert os.path.isdir(os.path.join(d, "best", "step_3"))
         assert not os.path.isdir(os.path.join(d, "best", "step_1"))
 
-        # non-coordinator processes never touch best/
+        # non-coordinator processes participate in the (collective) best
+        # save but never rotate the previous best or write metric.json
         mgr3 = CheckpointManager(d, keep=2)
         mgr3.save(state.replace(step=jnp.asarray(4, jnp.int32)),
                   metrics={"mean_iu": 0.95}, is_coordinator=False)
         mgr3.wait()
         mgr3.close()
         assert os.path.isdir(os.path.join(d, "best", "step_3"))
+        import json
+        rec = json.load(open(os.path.join(d, "best", "metric.json")))
+        assert rec["step"] == 3  # the record still points at step_3
 
 
 def test_restore_none_when_empty():

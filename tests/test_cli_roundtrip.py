@@ -54,3 +54,27 @@ def test_convert_then_eval_matches_direct_pth_eval(tmp_path):
     m_pth = json.load(open(j1))
     m_orb = json.load(open(j2))
     assert m_pth["cityscapes"] == m_orb["cityscapes"], (m_pth, m_orb)
+
+
+@pytest.mark.slow
+def test_train_eval_every_rotates_best(tmp_path):
+    """--eval-every: mid-train validation through the REUSED SegEvaluator
+    (one compile for all validations), val metrics in the JSONL stream, and
+    a best/ checkpoint rotation driven by the val mIoU (RobustNet harness
+    behavior, utils/misc.py:139-257)."""
+    runs = str(tmp_path / "runs")
+    _run(["mrfp_tpu.cli.train", "--synthetic", "--trunk", "resnet-18",
+          "--variant", "D32", "--mode", "baseline", "--batch-size", "2",
+          "--crop-size", "32", "--max-iter", "4", "--eval-every", "2",
+          "--ckpt-every", "2", "--log-every", "2", "--lr", "1e-3",
+          "--runs-dir", runs])
+    (run_dir,) = [os.path.join(runs, d) for d in os.listdir(runs)
+                  if os.path.isdir(os.path.join(runs, d))]
+    rows = [json.loads(l) for l in
+            open(os.path.join(run_dir, "metrics.jsonl"))]
+    val_steps = [r["step"] for r in rows if r["tag"] == "val/mean_iu"]
+    assert val_steps == [2, 4, 4], rows  # every 2 iters + the final val
+    best = os.path.join(run_dir, "ckpt", "best")
+    assert os.path.isdir(best)
+    rec = json.load(open(os.path.join(best, "metric.json")))
+    assert rec["metric"] == "mean_iu" and rec["step"] in (2, 4)

@@ -71,3 +71,36 @@ def test_sharded_train_step_collective_profile():
     #    (the (sum, sumsq) f32 tuples GSPMD inserts for global-batch BN)
     small = [c for c in colls if c.op == "all-reduce" and c.bytes <= 65536]
     assert len(small) >= 40, len(small)
+
+
+def test_parse_collectives_unit():
+    """Parser behavior pinned on hand-written HLO lines, incl. the async
+    -start tuple-aliasing rule (operands+results must not double-count)."""
+    hlo = """
+  %add.1 = f32[64]{0} add(%a, %b)
+  %all-reduce.1 = f32[1024]{0} all-reduce(%x), to_apply=%sum
+  %all-reduce-start.2 = (f32[256]{0}, f32[256]{0}) all-reduce-start(%y), to_apply=%sum
+  %all-reduce-done.2 = f32[256]{0} all-reduce-done(%all-reduce-start.2)
+  %all-gather-start.3 = (f32[16]{0}, f32[128]{0}, u32[], u32[]) all-gather-start(%z), dimensions={0}
+  %all-gather-done.3 = f32[128]{0} all-gather-done(%all-gather-start.3)
+  %collective-permute.4 = bf16[8,8]{1,0} collective-permute(%w), source_target_pairs={{0,1}}
+"""
+    colls = parse_collectives(hlo)
+    by_op = {}
+    for c in colls:
+        by_op.setdefault(c.op, []).append(c)
+
+    # the sync all-reduce counts its full result
+    assert [c.bytes for c in by_op["all-reduce"]][:1] == [4096]
+    # the async pair counts ONCE (the -start), result half only: 256*4
+    assert len(by_op["all-reduce"]) == 2
+    assert by_op["all-reduce"][1].bytes == 1024
+    # odd tuple (operand, result, u32 contexts): keep result + negligible
+    # context scalars, drop the operand
+    (ag,) = by_op["all-gather"]
+    assert ag.bytes == 128 * 4 + 4 + 4
+    assert ag.dtypes == ["f32", "u32"]
+    # plain elementwise ops are not collectives
+    assert len(colls) == 4
+    (cp,) = by_op["collective-permute"]
+    assert cp.bytes == 128 and cp.dtypes == ["bf16"]
