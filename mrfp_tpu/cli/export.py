@@ -1,0 +1,106 @@
+"""Serving export entry point: checkpoint -> one self-contained ``.mrfpx``
+artifact (StableHLO with the weights baked in; see mrfp_tpu/serving.py).
+
+    python -m mrfp_tpu.cli.export --ckpt runs/.../ckpt --out model.mrfpx \
+        --height 1024 --width 2048 [--batch 1] [--dtype bfloat16] \
+        [--platforms tpu cpu] [--check]
+
+Accepts the same checkpoint forms as cli.eval (Orbax run dir or reference
+.pth). The exported computation is the pure eval forward — image batch in,
+f32 logits out — at a FIXED shape (TPU serving wants static shapes; export
+several sizes if the fleet serves several). ``--check`` round-trips the
+artifact through deserialize and asserts it reproduces the live model's
+logits on random inputs before the file is declared good.
+
+The reference has no counterpart (its deployment is "ship the .pth and the
+whole model zoo source", main.py:884-893); this is the TPU-native
+equivalent of a torchscript/ONNX export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="mrfp_tpu serving export")
+    p.add_argument("--ckpt", default=None,
+                   help="Orbax run dir or reference .pth (default: "
+                        "randomly initialized weights — smoke tests)")
+    p.add_argument("--trunk", default="resnet-50")
+    p.add_argument("--variant", default="D16")
+    p.add_argument("--out", required=True, help="output .mrfpx path")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=2048)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16",
+                   help="compute dtype inside the artifact; logits are "
+                        "always f32 (bfloat16 is the TPU serving default, "
+                        "float32 the parity protocol — cli.eval docs)")
+    p.add_argument("--platforms", nargs="+", default=None,
+                   help="lowering platforms, e.g. 'tpu cpu' (default: the "
+                        "current backend only)")
+    p.add_argument("--check", action="store_true",
+                   help="deserialize the written file and assert it matches "
+                        "the live model on a random batch")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    from mrfp_tpu.cli.eval import load_model_and_params
+    from mrfp_tpu.serving import load_exported, save_exported
+    from mrfp_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    model, params, stats = load_model_and_params(args)
+
+    variables = {"params": params, "batch_stats": stats}
+
+    def forward(image):
+        out = model.apply(variables, image, train=False, mutable=False)
+        return out["logits"].astype(jnp.float32)
+
+    from jax import export as jax_export
+
+    shape = (args.batch, args.height, args.width, 3)
+    spec = jax.ShapeDtypeStruct(shape, jnp.float32)
+    kwargs = {"platforms": args.platforms} if args.platforms else {}
+    exported = jax_export.export(jax.jit(forward), **kwargs)(spec)
+
+    manifest = {
+        "format": "mrfpx-v1",
+        "model": {"trunk": args.trunk, "variant": args.variant},
+        "input": {"shape": list(shape), "dtype": "float32",
+                  "layout": "NHWC", "pixel_scale": "raw 0..255"},
+        "output": {"shape": list(exported.out_avals[0].shape),
+                   "dtype": "float32", "semantics": "per-class logits"},
+        "compute_dtype": args.dtype,
+        "platforms": list(exported.platforms),
+        "ckpt": args.ckpt or "random-init",
+    }
+    save_exported(args.out, exported, manifest)
+    logging.info("wrote %s (%s, platforms=%s)", args.out, shape,
+                 manifest["platforms"])
+
+    if args.check:
+        fn, mf = load_exported(args.out)
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 255, shape).astype(np.float32)
+        got = np.asarray(fn(x))
+        want = np.asarray(jax.jit(forward)(x))
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+        logging.info("check ok: artifact reproduces the live forward "
+                     "bit-for-bit on %s", mf["input"]["shape"])
+    print(args.out)
+
+
+if __name__ == "__main__":
+    main()
