@@ -27,6 +27,10 @@ def main():
     p.add_argument("--trunk", default="resnet-50")
     p.add_argument("--variant", default="D16")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-hw", type=int, nargs=2, default=(256, 512),
+                   help="H W of the synthetic images")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32")
     args = p.parse_args()
 
     from mrfp_tpu.cli.eval import load_model_and_params
@@ -35,7 +39,7 @@ def main():
 
     model, params, stats = load_model_and_params(args)
     if args.synthetic:
-        ds = SyntheticDataset(length=args.n, hw=(256, 512))
+        ds = SyntheticDataset(length=args.n, hw=tuple(args.synthetic_hw))
     else:
         ds = DATASETS[args.domain](root=args.data_root,
                                    split=VAL_SPLITS[args.domain], train=False)

@@ -78,3 +78,21 @@ def test_train_eval_every_rotates_best(tmp_path):
     assert os.path.isdir(best)
     rec = json.load(open(os.path.join(best, "metric.json")))
     assert rec["metric"] == "mean_iu" and rec["step"] in (2, 4)
+
+
+@pytest.mark.slow
+def test_visualize_cli_writes_triplets(tmp_path):
+    """cli.visualize (the decode_segmap dump flow, utils_main.py:28-63):
+    random-init synthetic run must write image/pred/gt PNG triplets.
+    Regression: the CLI once lacked --dtype and crashed in
+    load_model_and_params before producing anything."""
+    out = str(tmp_path / "viz")
+    _run(["mrfp_tpu.cli.visualize", "--synthetic", "--synthetic-hw", "64",
+          "96", "--n", "2", "--trunk", "resnet-18", "--variant", "D32",
+          "--out", out])
+    names = sorted(os.listdir(out))
+    assert names == ["000_gt.png", "000_image.png", "000_pred.png",
+                     "001_gt.png", "001_image.png", "001_pred.png"]
+    from PIL import Image
+    pred = Image.open(os.path.join(out, "000_pred.png"))
+    assert pred.size == (96, 64) and pred.mode == "RGB"
