@@ -47,6 +47,10 @@ def parse_args():
                         "compiles for mixed-shape domains; logits deviate "
                         "near padded borders). Default: exact shapes, the "
                         "reference protocol")
+    p.add_argument("--spatial-parallel", type=int, default=1,
+                   help="shard each image's H over this many chips (GSPMD "
+                        "conv halo exchange; batch-1 multi-chip serving). "
+                        "1 = single-device eval (default)")
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="compute dtype. float32 (default) is the reference "
@@ -111,9 +115,15 @@ def main():
     from mrfp_tpu.data.datasets import DATASETS, VAL_SPLITS, SyntheticDataset
     from mrfp_tpu.train.evaluator import SegEvaluator
 
+    mesh = None
+    if args.spatial_parallel > 1:
+        from mrfp_tpu.core.config import MeshConfig
+        from mrfp_tpu.core.mesh import create_mesh
+        mesh = create_mesh(MeshConfig(data_parallel=1,
+                                      spatial_parallel=args.spatial_parallel))
     evaluator = SegEvaluator(model, params, stats,
                              strict_pairs=args.strict_pairs,
-                             bucket=args.bucket)
+                             bucket=args.bucket, mesh=mesh)
     if args.domains == ["all"]:
         args.domains = ["bdd100k", "cityscapes", "synthia", "mapillary",
                         "gtav"]

@@ -44,6 +44,11 @@ def parse_args():
                    help="GLOBAL batch size (split across processes)")
     p.add_argument("--crop-size", type=int, default=768)
     p.add_argument("--max-iter", type=int, default=40000)
+    p.add_argument("--accum-steps", type=int, default=1,
+                   help="split each step's batch into N sequential "
+                        "microbatches inside one jit (activations stay "
+                        "microbatch-sized; effective batches beyond one "
+                        "chip's HBM)")
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", default=True)
@@ -93,6 +98,10 @@ def parse_args():
     p.add_argument("--data-parallel", type=int, default=-1,
                    help="mesh data axis size (-1 = all devices)")
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--spatial-parallel", type=int, default=1,
+                   help="shard image H over this many chips (GSPMD conv "
+                        "halo exchange) — for resolutions whose activations "
+                        "exceed one chip's HBM")
     return p.parse_args()
 
 
@@ -119,10 +128,12 @@ def build_config(args):
                                  batch_weighting=args.batch_weighting),
         train=dataclasses.replace(cfg.train, max_iter=args.max_iter,
                                   lr=args.lr, seed=args.seed,
+                                  accum_steps=args.accum_steps,
                                   checkpoint_every=args.ckpt_every,
                                   log_every=args.log_every),
         mesh=MeshConfig(data_parallel=args.data_parallel,
-                        model_parallel=args.model_parallel),
+                        model_parallel=args.model_parallel,
+                        spatial_parallel=args.spatial_parallel),
     )
     return cfg
 

@@ -117,18 +117,30 @@ class TrainConfig:
     keep_checkpoints: int = 3
     log_every: int = 50
     remat: bool = False               # jax.checkpoint the backbone stages
+    # gradient accumulation: split the step's batch into N sequential
+    # microbatches inside one jit (lax.scan). Grads are the mean of the
+    # microbatch means (the DDP-average semantics); BN running stats take N
+    # sequential EMA updates (what N torch forwards would do). Activations
+    # are microbatch-sized — effective batches beyond one chip's HBM.
+    accum_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh. DP is the parity strategy (SURVEY.md §2.3); the mesh is
-    2-D so tensor-style sharding can be enabled without an API change."""
+    """Device mesh. DP is the parity strategy (SURVEY.md §2.3); the mesh also
+    carries a 'model' axis (tensor-style sharding without an API change) and
+    a 'spatial' axis: image H is sharded across chips and GSPMD inserts the
+    conv halo exchanges — the TPU-native way to train/serve resolutions whose
+    activations exceed one chip's HBM (the reference has no counterpart; its
+    only answer to big images is sliding-window eval, main.py:876-913)."""
 
     data_axis: str = "data"
     model_axis: str = "model"
-    # -1 = all devices on the data axis
+    spatial_axis: str = "spatial"
+    # -1 = all devices left over for the data axis
     data_parallel: int = -1
     model_parallel: int = 1
+    spatial_parallel: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

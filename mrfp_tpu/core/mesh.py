@@ -21,26 +21,56 @@ from mrfp_tpu.core.config import MeshConfig
 
 def create_mesh(cfg: Optional[MeshConfig] = None,
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a 2-D (data, model) mesh over the available devices.
+    """Build a 3-D (data, model, spatial) mesh over the available devices.
 
-    With ``model_parallel == 1`` this is a pure DP mesh — the parity
-    configuration (the reference has no TP/PP/SP/EP; SURVEY.md §2.3).
+    With ``model_parallel == spatial_parallel == 1`` this is a pure DP mesh —
+    the parity configuration (the reference has no TP/PP/SP/EP; SURVEY.md
+    §2.3). ``spatial_parallel > 1`` shards image H across chips: GSPMD halo-
+    exchanges conv borders over ICI, SyncBN/NP+ moments and the loss mean
+    reduce over (data × spatial), and the math stays device-count invariant
+    (tests/test_spatial.py).
     """
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     mp = max(1, cfg.model_parallel)
-    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
-    if dp * mp != n:
-        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
-    dev_array = np.asarray(devices).reshape(dp, mp)
-    return Mesh(dev_array, (cfg.data_axis, cfg.model_axis))
+    sp = max(1, cfg.spatial_parallel)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // (mp * sp)
+    if dp * mp * sp != n:
+        raise ValueError(f"mesh {dp}x{mp}x{sp} != {n} devices")
+    dev_array = np.asarray(devices).reshape(dp, mp, sp)
+    return Mesh(dev_array, (cfg.data_axis, cfg.model_axis, cfg.spatial_axis))
+
+
+def _spatial_axis(mesh: Mesh) -> Optional[str]:
+    """The mesh's spatial axis name, or None if absent/size-1 (pure DP)."""
+    if len(mesh.axis_names) >= 3:
+        name = mesh.axis_names[2]
+        if mesh.shape[name] > 1:
+            return name
+    return None
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis; rest replicated."""
-    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
+    """Shard batch over 'data' and, when the mesh has a >1 spatial axis,
+    image H (dim 1 of NHWC / NHW) over 'spatial'; rest replicated."""
+    rest = [None] * (ndim - 1)
+    sp = _spatial_axis(mesh)
+    if sp is not None and ndim >= 3:
+        rest[0] = sp
+    spec = P(mesh.axis_names[0], *rest)
     return NamedSharding(mesh, spec)
+
+
+def spatial_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Batch replicated, image H sharded over 'spatial' — the batch-1 eval
+    sharding: one full-res image split across chips, conv halos over ICI.
+    Falls back to fully replicated on a mesh without a >1 spatial axis."""
+    rest = [None] * (ndim - 1)
+    sp = _spatial_axis(mesh)
+    if sp is not None and ndim >= 3:
+        rest[0] = sp
+    return NamedSharding(mesh, P(None, *rest))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

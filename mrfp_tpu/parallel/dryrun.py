@@ -85,8 +85,8 @@ def run(n_devices: int) -> float:
     images = rng.standard_normal((batch, hw, hw, 3)).astype(np.float32)
     labels = rng.integers(0, 19, (batch, hw, hw)).astype(np.int32)
 
-    def one_step(n: int) -> float:
-        mesh = create_mesh(MeshConfig(), devices[:n])
+    def one_step(n: int, spatial: int = 1) -> float:
+        mesh = create_mesh(MeshConfig(spatial_parallel=spatial), devices[:n])
         assert mesh.devices.size == n, f"mesh has {mesh.devices.size} != {n}"
         state = create_train_state(model, cfg.train, (1, hw, hw, 3),
                                    oc_params=oc_init(jax.random.PRNGKey(1)))
@@ -109,9 +109,18 @@ def run(n_devices: int) -> float:
     assert abs(loss_n - loss_1) <= 1e-4 * max(1.0, abs(loss_1)), (
         f"loss not device-count invariant: {n_devices}-dev {loss_n!r} "
         f"vs 1-dev {loss_1!r}")
+    loss_sp = None
+    if n_devices >= 4 and n_devices % 2 == 0:
+        # dp x sp mesh: image H sharded 2-way (GSPMD conv halo exchange,
+        # core/mesh.py) — the same step must stay invariant
+        loss_sp = one_step(n_devices, spatial=2)
+        assert abs(loss_sp - loss_1) <= 1e-4 * max(1.0, abs(loss_1)), (
+            f"loss not invariant under spatial sharding: "
+            f"{n_devices // 2}x2 {loss_sp!r} vs 1-dev {loss_1!r}")
     print(f"dryrun_multichip({n_devices}): loss={loss_n:.6f} "
-          f"(1-dev {loss_1:.6f}) devices={len(devices)} "
-          f"platform={jax.default_backend()} ok")
+          f"(1-dev {loss_1:.6f}, dpxsp "
+          f"{'skipped' if loss_sp is None else format(loss_sp, '.6f')}) "
+          f"devices={len(devices)} platform={jax.default_backend()} ok")
     return loss_n
 
 

@@ -68,22 +68,49 @@ class SegEvaluator:
     """Streaming per-domain mIoU evaluator."""
 
     def __init__(self, model, params, batch_stats, num_classes: int = 19,
-                 bucket: Optional[int] = None, strict_pairs: bool = True):
+                 bucket: Optional[int] = None, strict_pairs: bool = True,
+                 mesh=None):
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
         self.num_classes = num_classes
         self.bucket = bucket
         self.strict_pairs = strict_pairs
+        # multi-chip eval: one full-res image sharded over the mesh 'spatial'
+        # axis (batch-1 serving; GSPMD conv halos). Pure-DP meshes add
+        # nothing at batch 1, so only a >1-device mesh changes the path.
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         # params flow as jit arguments (a closure would bake them into the
         # executable as constants — one compile per evaluator, no donation)
-        self._step = jax.jit(self._hist_step)
-        self._step_masked = jax.jit(self._hist_step_masked)
+        if self.mesh is not None:
+            from mrfp_tpu.core.mesh import replicated, spatial_sharding
+            from mrfp_tpu.ops.resize import pallas_kernels_disabled
+
+            def no_pallas(f):
+                def g(*args):
+                    with pallas_kernels_disabled():
+                        return f(*args)
+                return g
+
+            repl = replicated(self.mesh)
+            img_s = spatial_sharding(self.mesh, 4)
+            lbl_s = spatial_sharding(self.mesh, 3)
+            self._step = jax.jit(
+                no_pallas(self._hist_step),
+                in_shardings=(repl, repl, img_s, lbl_s), out_shardings=repl)
+            self._step_masked = jax.jit(
+                no_pallas(self._hist_step_masked),
+                in_shardings=(repl, repl, img_s, lbl_s, repl),
+                out_shardings=repl)
+        else:
+            self._step = jax.jit(self._hist_step)
+            self._step_masked = jax.jit(self._hist_step_masked)
 
     def _hist_update(self, hist, pred, label):
-        if jax.default_backend() == "tpu":
+        if self.mesh is None and jax.default_backend() == "tpu":
             # one-hot MXU matmuls: ~5x faster than the scatter on full-res
-            # images (ops/pallas_hist.py)
+            # images (ops/pallas_hist.py); GSPMD cannot partition pallas_call,
+            # so meshed eval takes the shardable scatter/one-hot form
             return hist + confusion_matrix_pallas(pred, label, self.num_classes)
         return confusion_matrix_update(hist, pred, label, self.num_classes)
 

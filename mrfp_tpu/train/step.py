@@ -56,33 +56,75 @@ def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
                               key_np0=keys["np_l0"], key_np1=keys["np_l1"],
                               oc_params=oc_params)
 
-    # BATCH_WEIGHTING (config.py:56; dead in the reference's live path):
-    # per-batch rare-class upweighting of the CE. Computed outside loss_fn —
-    # the weights are a function of the labels only, no gradient flows.
-    cw = (batch_class_weights(labels, cfg.model.num_classes,
-                              cfg.data.ignore_index)
-          if cfg.data.batch_weighting else None)
-
-    def loss_fn(params):
+    def forward_loss(params, batch_stats, imgs, lbls, ptb, dropout_key):
+        # BATCH_WEIGHTING (config.py:56; dead in the reference's live path):
+        # per-batch rare-class upweighting of the CE. A function of the
+        # labels only — no gradient flows through the weights.
+        cw = (batch_class_weights(lbls, cfg.model.num_classes,
+                                  cfg.data.ignore_index)
+              if cfg.data.batch_weighting else None)
         out, mutated = model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            images, train=True, perturb=perturb, mutable=["batch_stats"],
-            rngs={"dropout": keys["dropout"]})
-        loss = cross_entropy(out["logits"], labels, cfg.data.ignore_index,
+            {"params": params, "batch_stats": batch_stats},
+            imgs, train=True, perturb=ptb, mutable=["batch_stats"],
+            rngs={"dropout": dropout_key})
+        loss = cross_entropy(out["logits"], lbls, cfg.data.ignore_index,
                              class_weights=cw)
         if "dsn" in out:
             # DSN aux head: CE against nearest-downsampled labels, weight 0.4
             # (network/deepv3.py:570-577; zoo_step uses the same recipe)
             from mrfp_tpu.ops.resize import resize_nearest
             aux = out["dsn"]
-            lbl4 = labels[..., None].astype(jnp.float32)
+            lbl4 = lbls[..., None].astype(jnp.float32)
             lbl_s = resize_nearest(lbl4, size=(aux.shape[1], aux.shape[2]))
             loss = loss + 0.4 * cross_entropy(
                 aux, lbl_s[..., 0].astype(jnp.int32), cfg.data.ignore_index)
         return loss, (mutated["batch_stats"], out)
 
-    (loss, (new_stats, _out)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params)
+    accum = max(1, cfg.train.accum_steps)
+    if accum == 1:
+        (loss, (new_stats, _out)), grads = jax.value_and_grad(
+            forward_loss, has_aux=True)(
+                state.params, state.batch_stats, images, labels, perturb,
+                keys["dropout"])
+    else:
+        # Gradient accumulation: N sequential microbatches inside the step.
+        # mb-major split — image i goes to microbatch i % accum — so each
+        # device scans over ITS OWN batch shard and nothing crosses the mesh
+        # (a contiguous split would reshard every scan iteration). Gates and
+        # OC weights are per optimizer step (reference re-randomizes per
+        # iteration, deepv3.py:290-306); NP+/dropout keys fold in the
+        # microbatch index so noise stays independent across microbatches.
+        if images.shape[0] % accum:
+            raise ValueError(f"batch {images.shape[0]} not divisible by "
+                             f"accum_steps {accum}")
+        mb = images.shape[0] // accum
+        xs_img = jnp.moveaxis(
+            images.reshape(mb, accum, *images.shape[1:]), 1, 0)
+        xs_lbl = jnp.moveaxis(
+            labels.reshape(mb, accum, *labels.shape[1:]), 1, 0)
+        grad_fn = jax.value_and_grad(forward_loss, has_aux=True)
+
+        def body(carry, xs):
+            stats, gsum, lsum = carry
+            im, lb, i = xs
+            ptb = perturb
+            if ptb is not None:
+                ptb = ptb.replace(
+                    key_np0=jax.random.fold_in(perturb.key_np0, i),
+                    key_np1=jax.random.fold_in(perturb.key_np1, i))
+            (l, (stats, _)), g = grad_fn(
+                state.params, stats, im, lb, ptb,
+                jax.random.fold_in(keys["dropout"], i))
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+            return (stats, gsum, lsum + l), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_stats, gsum, lsum), _ = jax.lax.scan(
+            body, (state.batch_stats, zeros, jnp.zeros((), jnp.float32)),
+            (xs_img, xs_lbl, jnp.arange(accum)))
+        # mean of microbatch means — the DDP gradient-average semantics
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        loss = lsum / accum
 
     tx = make_optimizer(cfg.train)
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -147,9 +189,12 @@ def make_jitted_steps(model, cfg: Config, mesh: Optional[Mesh] = None):
 
         t, e = _no_pallas(t), _no_pallas(e)
 
+    from mrfp_tpu.core.mesh import batch_sharding
     repl = NamedSharding(mesh, P())
-    data4 = NamedSharding(mesh, P(mesh.axis_names[0], None, None, None))
-    data3 = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+    # batch over 'data'; image H additionally over 'spatial' when the mesh
+    # has one (GSPMD conv halo exchange — core/mesh.py docstring)
+    data4 = batch_sharding(mesh, 4)
+    data3 = batch_sharding(mesh, 3)
     jt = jax.jit(t, in_shardings=(repl, data4, data3),
                  out_shardings=(repl, repl), donate_argnums=0)
     je = jax.jit(e, in_shardings=(repl, repl, data4), out_shardings=data3)

@@ -73,6 +73,73 @@ def test_sharded_train_step_collective_profile():
     assert len(small) >= 40, len(small)
 
 
+@pytest.mark.slow
+def test_spatial_sharded_step_collective_profile():
+    """Collective audit of the dp x sp (2x4) sharded step — what spatial
+    partitioning costs on a pod. Measured on the audited program (r50-D16
+    MRFP+, 16x64x64 over 8 CPU devices, 2026-08-18):
+
+      all-reduce          262 / 240.8 MB  (two-stage grad reduce over the
+                                           data and spatial groups + BN stats;
+                                           dp-only pays 161.7 MB)
+      collective-permute   98 /   5.0 MB  (conv halo exchanges — thin border
+                                           rows, the SP design working)
+      all-gather           22 /  10.2 MB  (full-H gathers at resize/ASPP-pool
+                                           points where GSPMD gathers instead
+                                           of partial-summing the one-hot
+                                           resize contraction; grows with
+                                           activation size — the known SP
+                                           overhead to revisit if SP becomes
+                                           a hot path)
+
+    The asserts pin the structure, not exact counts."""
+    from mrfp_tpu.core.config import Config, MeshConfig
+    from mrfp_tpu.core.mesh import create_mesh, shard_batch
+    from mrfp_tpu.models import MRFP
+    from mrfp_tpu.perturb import oc_init
+    from mrfp_tpu.train import create_train_state, make_jitted_steps
+
+    assert len(jax.devices()) >= 8
+    cfg = Config()
+    model = MRFP(trunk="resnet-50", variant="D16")
+    hw, batch = 64, 16
+    state = create_train_state(model, cfg.train, (1, hw, hw, 3),
+                               oc_params=oc_init(jax.random.PRNGKey(1)))
+    mesh = create_mesh(MeshConfig(data_parallel=2, spatial_parallel=4),
+                       jax.devices()[:8])
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    rng = np.random.default_rng(0)
+    imgs, lbls = shard_batch(mesh, (
+        rng.standard_normal((batch, hw, hw, 3)).astype(np.float32),
+        rng.integers(0, 19, (batch, hw, hw)).astype(np.int32)))
+    jtrain, _ = make_jitted_steps(model, cfg, mesh)
+    txt = jtrain.lower(state, imgs, lbls).compile().as_text()
+
+    colls = parse_collectives(txt)
+    s = summarize(colls)
+
+    # halo exchanges exist and stay thin (border rows, not whole maps)
+    cp = s.get("collective-permute", {"count": 0, "bytes": 0})
+    assert cp["count"] >= 20, s
+    assert cp["bytes"] <= 32 << 20, s
+
+    # H-gathers at resize/pool points are bounded at this size
+    ag = s.get("all-gather", {"count": 0, "bytes": 0})
+    assert ag["bytes"] <= 32 << 20, s
+
+    # grads still sync (possibly two-stage: <= ~2x params + stats slack)
+    param_bytes = sum(int(np.prod(x.shape)) * 4
+                      for x in jax.tree_util.tree_leaves(state.params))
+    ar = s.get("all-reduce", {"count": 0, "bytes": 0})
+    assert ar["bytes"] >= param_bytes, (ar, param_bytes)
+    assert ar["bytes"] <= 2.2 * param_bytes + (32 << 20), (ar, param_bytes)
+
+    # nothing silently drops to bf16 on the wire
+    dtypes = {dt for c in colls for dt in c.dtypes}
+    assert dtypes <= {"f32", "s32"}, dtypes
+
+
 def test_parse_collectives_unit():
     """Parser behavior pinned on hand-written HLO lines, incl. the async
     -start tuple-aliasing rule (operands+results must not double-count)."""
