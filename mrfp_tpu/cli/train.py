@@ -259,7 +259,22 @@ def main():
     step = int(state.step)
     steps_per_epoch = max(1, len(loader))
     metrics_for_ckpt = None
-    while step < cfg.train.max_iter:
+
+    # Preemption-safe shutdown: on SIGTERM/SIGINT (maintenance eviction,
+    # ^C) finish the in-flight step, save a resumable checkpoint, exit 0.
+    # Orbax auto-resume picks it up on restart — no lost work on a pod that
+    # gets preempted between checkpoint_every boundaries.
+    import signal
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+        logging.warning("signal %d: checkpoint-and-exit after this step",
+                        signum)
+
+    prev_handlers = [(s, signal.signal(s, _on_signal))
+                     for s in (signal.SIGTERM, signal.SIGINT)]
+    while step < cfg.train.max_iter and not preempted["flag"]:
         # epoch-dependent shuffle AND per-sample augmentation RNG
         # (reference: DistributedSampler.set_epoch + worker re-seeding)
         epoch = step // steps_per_epoch
@@ -285,14 +300,18 @@ def main():
                 ckpt.save(state, metrics=metrics_for_ckpt,
                           is_coordinator=jax.process_index() == 0)
                 metrics_for_ckpt = None  # only fresh val scores rotate best
-            if step >= cfg.train.max_iter:
+            if step >= cfg.train.max_iter or preempted["flag"]:
                 break
-    if args.eval_every:
+    for s, h in prev_handlers:
+        signal.signal(s, h)
+    if args.eval_every and not preempted["flag"]:
         metrics_for_ckpt = run_validation(state, step)
     ckpt.save(state, metrics=metrics_for_ckpt,
               is_coordinator=jax.process_index() == 0)
     ckpt.wait()
-    logging.info("done at step %d", step)
+    logging.info("%s at step %d",
+                 "preempted (resumable)" if preempted["flag"] else "done",
+                 step)
 
 
 if __name__ == "__main__":

@@ -175,11 +175,16 @@ class SlidingEvaluator(SegEvaluator):
 
     def __init__(self, model, params, batch_stats, num_classes: int = 19,
                  crop_size: int = 1024, stride_rate: float = 2 / 3,
-                 strict_pairs: bool = True):
+                 strict_pairs: bool = True, tile_batch: int = 8):
         super().__init__(model, params, batch_stats, num_classes,
                          bucket=crop_size, strict_pairs=strict_pairs)
         self.crop_size = crop_size
         self.stride_rate = stride_rate
+        # tiles run through ONE compiled (tile_batch, cs, cs, 3) forward —
+        # fewer dispatches (~1-2 ms each through the tunnel, CLAUDE.md) and
+        # a real batch dim for the MXU; the last chunk zero-pads to the same
+        # shape (eval mode, so padding tiles never affect real ones)
+        self.tile_batch = max(1, tile_batch)
         self._logits = jax.jit(self._logits_step)
 
     def _logits_step(self, variables, image):
@@ -199,14 +204,20 @@ class SlidingEvaluator(SegEvaluator):
         acc = np.zeros((h, w, self.num_classes), np.float32)
         cnt = np.zeros((h, w, 1), np.float32)
         variables = {"params": self.params, "batch_stats": self.batch_stats}
+        spans = []
         for sy in ys:
             for sx in xs:
                 sy2, sx2 = max(0, min(sy, h - cs)), max(0, min(sx, w - cs))
-                tile = np.zeros((cs, cs, img.shape[-1]), np.float32)
-                ey, ex = min(sy2 + cs, h), min(sx2 + cs, w)
-                tile[:ey - sy2, :ex - sx2] = img[sy2:ey, sx2:ex]
-                logits = np.asarray(self._logits(variables, tile[None]))[0]
-                acc[sy2:ey, sx2:ex] += logits[:ey - sy2, :ex - sx2]
+                spans.append((sy2, sx2, min(sy2 + cs, h), min(sx2 + cs, w)))
+        tb = self.tile_batch
+        for lo in range(0, len(spans), tb):
+            chunk = spans[lo:lo + tb]
+            batch = np.zeros((tb, cs, cs, img.shape[-1]), np.float32)
+            for k, (sy2, sx2, ey, ex) in enumerate(chunk):
+                batch[k, :ey - sy2, :ex - sx2] = img[sy2:ey, sx2:ex]
+            logits = np.asarray(self._logits(variables, batch))
+            for k, (sy2, sx2, ey, ex) in enumerate(chunk):
+                acc[sy2:ey, sx2:ex] += logits[k, :ey - sy2, :ex - sx2]
                 cnt[sy2:ey, sx2:ex] += 1
         return np.argmax(acc / np.maximum(cnt, 1), axis=-1).astype(np.int32)
 

@@ -115,6 +115,36 @@ def test_accum_full_mrfp_plus_runs_and_is_finite():
     assert int(new_state.step) == 1
 
 
+def test_accum_composes_with_spatial_mesh():
+    """accum_steps=2 under a dp2 x sp2 mesh: the mb-major split keeps each
+    device scanning its own batch shard, and the loss stays device-count
+    invariant vs the unsharded accum step."""
+    from mrfp_tpu.core.config import MeshConfig
+    from mrfp_tpu.core.mesh import create_mesh, shard_batch
+    from mrfp_tpu.train import make_jitted_steps
+
+    cfg = Config()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, accum_steps=2))
+    model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7)
+    images, labels = _data(8)
+
+    def run(mesh_cfg, n_dev):
+        mesh = create_mesh(mesh_cfg, jax.devices()[:n_dev])
+        state = create_train_state(model, cfg.train, (1, HW, HW, 3))
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        imgs, lbls = shard_batch(mesh, (images, labels))
+        jtrain, _ = make_jitted_steps(model, cfg, mesh)
+        _, m = jtrain(state, imgs, lbls)
+        return float(m["loss"])
+
+    loss_sp = run(MeshConfig(data_parallel=2, spatial_parallel=2), 4)
+    loss_1 = run(MeshConfig(), 1)
+    assert np.isfinite(loss_sp)
+    assert abs(loss_sp - loss_1) <= 1e-4 * max(1.0, abs(loss_1)), (
+        loss_sp, loss_1)
+
+
 def test_accum_rejects_indivisible_batch():
     cfg = Config()
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, accum_steps=3))

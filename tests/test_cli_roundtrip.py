@@ -96,3 +96,64 @@ def test_visualize_cli_writes_triplets(tmp_path):
     from PIL import Image
     pred = Image.open(os.path.join(out, "000_pred.png"))
     assert pred.size == (96, 64) and pred.mode == "RGB"
+
+
+@pytest.mark.slow
+def test_train_cli_sigterm_saves_resumable_checkpoint(tmp_path):
+    """Preemption safety: SIGTERM mid-run must finish the in-flight step,
+    save a resumable checkpoint (exit 0), and a rerun with the same args
+    must resume from it instead of step 0."""
+    import signal
+    import time as _time
+
+    runs = str(tmp_path / "runs")
+    args = [sys.executable, "-m", "mrfp_tpu.cli.train", "--synthetic",
+            "--max-iter", "60", "--batch-size", "2", "--crop-size", "64",
+            "--trunk", "resnet-18", "--variant", "D32", "--log-every", "1",
+            "--ckpt-every", "60", "--runs-dir", runs]
+    proc = subprocess.Popen(args, env=_cli_env(), stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    # wait until a few steps have logged (metrics.jsonl rows appear per step)
+    metrics_path = None
+    deadline = _time.time() + 800
+    rows = []
+    try:
+        while _time.time() < deadline:
+            if metrics_path is None:
+                cand = [os.path.join(runs, d, "metrics.jsonl")
+                        for d in (os.listdir(runs) if os.path.isdir(runs)
+                                  else [])]
+                metrics_path = next((c for c in cand if os.path.exists(c)),
+                                    None)
+            if metrics_path:
+                rows = [json.loads(l) for l in open(metrics_path)
+                        if l.strip()]
+                if sum(r["tag"] == "train/loss" for r in rows) >= 3:
+                    break
+            assert proc.poll() is None, proc.stdout.read()[-3000:]
+            _time.sleep(2)
+        else:
+            proc.kill()
+            raise AssertionError(f"no training progress: {rows}")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-3000:]
+    assert "preempted (resumable)" in out, out[-3000:]
+
+    run_dir = os.path.dirname(metrics_path)
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    assert steps, os.listdir(ckpt_dir)
+    saved = max(steps)
+    assert 0 < saved < 60  # mid-run, not a ckpt-every boundary
+
+    # rerun with IDENTICAL args (max_iter is part of the run-dir name):
+    # must resume from the preemption checkpoint, not step 0
+    proc2 = subprocess.run(args, env=_cli_env(), capture_output=True,
+                           text=True, timeout=800)
+    assert proc2.returncode == 0, proc2.stdout[-2000:] + proc2.stderr[-2000:]
+    blob = proc2.stdout + proc2.stderr
+    assert f"resumed from step {saved}" in blob, blob[-3000:]

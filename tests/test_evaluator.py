@@ -62,6 +62,24 @@ def test_sliding_evaluator_tiles_large_input():
     assert 0.0 <= res["mean_iu"] <= 1.0
 
 
+def test_sliding_evaluator_tile_batch_invariant():
+    """Batched tile inference (tile_batch>1, incl. zero-padded final chunk)
+    must produce the same histogram as one-by-one tiles."""
+    from mrfp_tpu.train.evaluator import SlidingEvaluator
+    model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    ds = SyntheticDataset(length=1, hw=(96, 130))  # 2x3 tiling -> 6 tiles
+    quiet = lambda *a, **k: None
+    res1 = SlidingEvaluator(model, variables["params"],
+                            variables.get("batch_stats", {}), crop_size=64,
+                            stride_rate=0.75, tile_batch=1).run(ds, log=quiet)
+    res4 = SlidingEvaluator(model, variables["params"],
+                            variables.get("batch_stats", {}), crop_size=64,
+                            stride_rate=0.75, tile_batch=4).run(ds, log=quiet)
+    np.testing.assert_array_equal(res1["hist"], res4["hist"])
+
+
 def test_exact_shape_default_matches_direct_apply():
     """Default protocol = exact native shapes (reference main.py:896):
     the evaluator's histogram equals a hand-rolled exact-shape forward."""
