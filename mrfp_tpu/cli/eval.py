@@ -112,7 +112,8 @@ def main():
     enable_persistent_compile_cache()
     model, params, stats = load_model_and_params(args)
 
-    from mrfp_tpu.data.datasets import DATASETS, VAL_SPLITS, SyntheticDataset
+    from mrfp_tpu.data.datasets import (DATASETS, VAL_SPLITS,
+                                        SyntheticDataset, domain_root)
     from mrfp_tpu.train.evaluator import SegEvaluator
 
     mesh = None
@@ -133,7 +134,7 @@ def main():
             ds = SyntheticDataset(length=4, hw=tuple(args.synthetic_hw))
             ds.name = domain
         else:
-            ds = DATASETS[domain](root=args.data_root,
+            ds = DATASETS[domain](root=domain_root(args.data_root, domain),
                                   split=VAL_SPLITS[domain], train=False,
                                   eval_size=args.eval_size)
         res = evaluator.run(ds, max_images=args.max_images)

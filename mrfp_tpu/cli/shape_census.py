@@ -66,9 +66,10 @@ VAL_SHAPE_FN = {
 def census(domain: str, root: str, eval_size: int = 1536,
            max_images: int = 0, split: str = None) -> Dict[Tuple[int, int], int]:
     """{post-transform (H, W): count} for the domain's val split."""
-    from mrfp_tpu.data.datasets import DATASETS, VAL_SPLITS
+    from mrfp_tpu.data.datasets import DATASETS, VAL_SPLITS, domain_root
 
-    ds = DATASETS[domain](root=root, split=split or VAL_SPLITS[domain],
+    ds = DATASETS[domain](root=domain_root(root, domain),
+                          split=split or VAL_SPLITS[domain],
                           train=False, eval_size=eval_size)
     files = ds.files[:max_images] if max_images else ds.files
     fn = VAL_SHAPE_FN[domain]

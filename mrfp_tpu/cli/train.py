@@ -140,7 +140,8 @@ def build_config(args):
 
 def build_dataset(args, cfg, train: bool = True):
     from mrfp_tpu.data.datasets import (DATASETS, TRAIN_SPLITS, VAL_SPLITS,
-                                        ConcatDataset, SyntheticDataset)
+                                        ConcatDataset, SyntheticDataset,
+                                        domain_root)
     # '+'-joined sources concatenate (main.py:821 GTAV+SYNTHIA)
 
     if args.synthetic or args.source == "synthetic":
@@ -154,7 +155,8 @@ def build_dataset(args, cfg, train: bool = True):
         ds_cls = DATASETS[src]
         splits = TRAIN_SPLITS if train else VAL_SPLITS
         parts.append(ds_cls(
-            root=args.data_root, split=splits[src], train=train,
+            root=domain_root(args.data_root, src), split=splits[src],
+            train=train,
             base_size=cfg.data.base_size, crop_size=cfg.data.crop_size,
             seed=args.seed,
             random_flip=cfg.data.random_flip,

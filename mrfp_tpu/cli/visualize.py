@@ -41,7 +41,9 @@ def main():
     if args.synthetic:
         ds = SyntheticDataset(length=args.n, hw=tuple(args.synthetic_hw))
     else:
-        ds = DATASETS[args.domain](root=args.data_root,
+        from mrfp_tpu.data.datasets import domain_root
+        ds = DATASETS[args.domain](root=domain_root(args.data_root,
+                                                    args.domain),
                                    split=VAL_SPLITS[args.domain], train=False)
 
     @jax.jit

@@ -444,6 +444,18 @@ class SyntheticDataset:
         return {"image": img, "label": lbl}
 
 
+def domain_root(data_root: str, domain: str) -> str:
+    """Resolve one domain's dataset dir under a shared ``--data-root``.
+
+    ``<data_root>/<domain>/`` when that exists (the conventional
+    multi-domain tree — needed because e.g. GTAV and BDD100k both expect
+    ``root/images/<split>`` and cannot share one root), else ``data_root``
+    itself (pointing straight at a single dataset dir, the reference's
+    per-dataset ``config.py:70-80`` CITYSCAPES_DIR-style usage)."""
+    sub = os.path.join(data_root, domain)
+    return sub if os.path.isdir(sub) else data_root
+
+
 DATASETS = {
     "cityscapes": Cityscapes,
     "rainy_cityscapes": RainyCityscapes,

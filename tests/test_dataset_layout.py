@@ -190,3 +190,15 @@ def test_concat(roots):
     assert len(cat) == 2
     _check(cat[0])
     _check(cat[1])
+
+
+def test_domain_root_resolves_per_domain_subdirs(tmp_path):
+    """Shared --data-root with per-domain subtrees: <root>/<domain>/ wins
+    when present (GTAV and BDD100k both want root/images/<split>, so one
+    flat root cannot serve a multi-domain sweep); otherwise the root itself
+    is the dataset dir (reference CITYSCAPES_DIR-style usage)."""
+    from mrfp_tpu.data.datasets import domain_root
+
+    (tmp_path / "gtav").mkdir()
+    assert domain_root(str(tmp_path), "gtav") == str(tmp_path / "gtav")
+    assert domain_root(str(tmp_path), "bdd100k") == str(tmp_path)
