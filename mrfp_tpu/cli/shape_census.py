@@ -29,7 +29,6 @@ from __future__ import annotations
 import argparse
 import collections
 import json
-import os
 from typing import Dict, Iterable, Tuple
 
 

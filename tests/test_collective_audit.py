@@ -13,7 +13,6 @@ crosses the mesh, so pod scaling is pure grad+stat bandwidth on ICI.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

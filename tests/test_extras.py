@@ -9,11 +9,9 @@ from PIL import Image
 from mrfp_tpu.nn.grad_reversal import grad_reverse
 from mrfp_tpu.data.joint_transforms import (
     ClassUniform,
-    ComposePair,
     MaskToTensor,
     RelaxedBoundaryLossToTensor,
     SlidingCrop,
-    detect_peaks,
     find_boundaries_thick,
 )
 

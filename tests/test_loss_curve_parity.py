@@ -7,10 +7,8 @@ SURVEY.md §7 step 6 ("short-run loss-curve comparison vs PyTorch on
 identical batches") without needing GPU or datasets.
 """
 
-import dataclasses
 
 import numpy as np
-import pytest
 import torch
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ from mrfp_tpu.core.config import Config, mrfp_plus_config
 from mrfp_tpu.metrics import eval as mean_iou_eval
 from mrfp_tpu.metrics import fast_hist, fast_hist_pasta
 from mrfp_tpu.utils import AverageMeter, make_exp_name, prep_experiment
-from mrfp_tpu.utils.experiment import MetricWriter
 from mrfp_tpu.utils.probes import FeatureProbe, cosine_sim
 
 
