@@ -148,6 +148,30 @@ def eval_step(params, batch_stats, images, *, model) -> jnp.ndarray:
     return jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
 
 
+def mesh_jit_train(fn, mesh: Optional[Mesh]):
+    """jit a ``(state, images, labels) -> (state, metrics)`` step under mesh
+    shardings: replicated state, batch over 'data' (+ image H over 'spatial'
+    when the mesh has one), pallas-free multi-device trace, donated state.
+    ``mesh=None`` is a plain donating jit. Shared by the MRFP and zoo steps."""
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=0)
+    if mesh.size > 1:
+        from mrfp_tpu.ops.resize import pallas_kernels_disabled
+        inner = fn
+
+        @functools.wraps(inner)
+        def fn(*args, **kwargs):
+            with pallas_kernels_disabled():
+                return inner(*args, **kwargs)
+
+    from mrfp_tpu.core.mesh import batch_sharding
+    repl = NamedSharding(mesh, P())
+    return jax.jit(fn,
+                   in_shardings=(repl, batch_sharding(mesh, 4),
+                                 batch_sharding(mesh, 3)),
+                   out_shardings=(repl, repl), donate_argnums=0)
+
+
 def make_jitted_steps(model, cfg: Config, mesh: Optional[Mesh] = None):
     """Build jitted train/eval steps with mesh shardings.
 

@@ -66,6 +66,22 @@ def zoo_train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
                          batch_stats=new_stats, opt_state=new_opt), metrics
 
 
+def make_zoo_jitted_step(model, cfg: Config, mesh=None,
+                         wt_masks: Optional[Sequence[jnp.ndarray]] = None,
+                         wt_nrc: Optional[Sequence[float]] = None,
+                         aux_weight: float = 0.4):
+    """Mesh-jitted zoo step: replicated state, batch over 'data' (+ H over
+    'spatial'), GSPMD grad/SyncBN reductions — the DDP+SyncBatchNorm setup
+    every RobustNet config trains under (reference config.py:92-93), for the
+    zoo objective. ``mesh=None`` is a plain donating jit."""
+    from mrfp_tpu.train.step import mesh_jit_train
+
+    fn = functools.partial(zoo_train_step, model=model, cfg=cfg,
+                           wt_masks=wt_masks, wt_nrc=wt_nrc,
+                           aux_weight=aux_weight)
+    return mesh_jit_train(fn, mesh)
+
+
 def covstat_pass(model, params, batch_stats, cov_layers,
                  view_pairs: Sequence[Tuple[jnp.ndarray, jnp.ndarray]]):
     """ISW statistics phase: run concatenated augmented view pairs through

@@ -106,6 +106,52 @@ def test_meshed_evaluator_hist_matches_single_device():
     assert got["mean_iu"] == ref["mean_iu"]
 
 
+@pytest.mark.parametrize("dp,sp", [(2, 2)])
+def test_zoo_step_loss_invariant_under_mesh(dp, sp):
+    """The RobustNet-zoo objective (CE + DSN aux + ISW whitening loss) under
+    dp x sp sharding == 1-device loss: the DDP+SyncBatchNorm setup every
+    reference zoo config trains with (config.py:92-93), via GSPMD."""
+    import dataclasses
+
+    from mrfp_tpu.models import DeepV3Plus, build_cov_layers
+    from mrfp_tpu.train.zoo_step import covstat_pass, make_zoo_jitted_step
+
+    wt = (0, 0, 0, 2, 2, 0, 0)
+    cfg = Config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, use_wtloss=True))
+    model = DeepV3Plus(trunk="resnet-18", variant="D32", wt_layer=wt,
+                       use_dsn=True)
+    rng = np.random.default_rng(0)
+    batch = 2 * dp
+    images = rng.standard_normal((batch, HW, HW, 3)).astype(np.float32)
+    labels = rng.integers(0, 19, (batch, HW, HW)).astype(np.int32)
+
+    state0 = create_train_state(model, cfg.train, (1, HW, HW, 3))
+    cov_layers = build_cov_layers("resnet-18", wt, clusters=5)
+    v1 = jnp.asarray(images[:2])
+    v2 = jnp.asarray(images[2:4])
+    masks, nrc = covstat_pass(model, state0.params, state0.batch_stats,
+                              cov_layers, [(v1, v2)])
+
+    def one_loss(mesh_cfg, n_dev):
+        mesh = create_mesh(mesh_cfg, jax.devices()[:n_dev])
+        state = create_train_state(model, cfg.train, (1, HW, HW, 3))
+        state = jax.device_put(state, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec()))
+        imgs, lbls = shard_batch(mesh, (images, labels))
+        step = make_zoo_jitted_step(model, cfg, mesh, wt_masks=masks,
+                                    wt_nrc=nrc)
+        _, m = step(state, imgs, lbls)
+        return float(m["loss"])
+
+    loss_sp = one_loss(MeshConfig(data_parallel=dp, spatial_parallel=sp),
+                       dp * sp)
+    loss_1 = one_loss(MeshConfig(), 1)
+    assert np.isfinite(loss_sp)
+    assert abs(loss_sp - loss_1) <= 1e-4 * max(1.0, abs(loss_1)), (
+        loss_sp, loss_1)
+
+
 def test_batch_sharding_spec_includes_spatial_axis():
     mesh = create_mesh(MeshConfig(data_parallel=2, spatial_parallel=4))
     s4 = batch_sharding(mesh, 4)
