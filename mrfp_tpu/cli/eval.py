@@ -29,6 +29,16 @@ def parse_args():
                         "reference sweep")
     p.add_argument("--trunk", default="resnet-50")
     p.add_argument("--variant", default="D16")
+    p.add_argument("--arch", default=None,
+                   help="evaluate a zoo (cli.train_zoo) checkpoint instead "
+                        "of MRFP: a reference factory name "
+                        "(network/deepv3.py:606-779), e.g. DeepR50V3PlusD")
+    p.add_argument("--wt-layer", type=int, nargs=7, default=None, metavar="W",
+                   help="whitening plan of the zoo checkpoint (must match "
+                        "training; changes the parameter structure)")
+    p.add_argument("--use-dsn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="zoo checkpoints carry the DSN aux head by default")
     p.add_argument("--eval-size", type=int, default=1536)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--synthetic", action="store_true")
@@ -65,7 +75,22 @@ def load_model_and_params(args):
     from mrfp_tpu.train.import_torch import load_torch_checkpoint
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
-    model = MRFP(trunk=args.trunk, variant=args.variant, dtype=dtype)
+    # getattr: other CLIs (visualize) reuse this loader with a smaller
+    # argparse surface — absent zoo args mean the MRFP path
+    arch = getattr(args, "arch", None)
+    wt_arg = getattr(args, "wt_layer", None)
+    zoo = arch is not None or wt_arg is not None
+    if zoo:
+        from mrfp_tpu.models.deepv3_zoo import DeepV3Plus, get_net
+        wt = tuple(wt_arg) if wt_arg else (0,) * 7
+        use_dsn = getattr(args, "use_dsn", True)
+        if arch:
+            model = get_net(arch, wt_layer=wt, use_dsn=use_dsn, dtype=dtype)
+        else:
+            model = DeepV3Plus(trunk=args.trunk, variant=args.variant,
+                               wt_layer=wt, use_dsn=use_dsn, dtype=dtype)
+    else:
+        model = MRFP(trunk=args.trunk, variant=args.variant, dtype=dtype)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, 64, 64, 3)), train=False)
     params, stats = variables["params"], variables.get("batch_stats", {})
@@ -85,7 +110,8 @@ def load_model_and_params(args):
         # None there — try the perturbed template first, fall back to the
         # baseline structure on mismatch
         state, errors = None, []
-        for oc in (oc_init(jax.random.PRNGKey(1)), None):
+        templates = (None,) if zoo else (oc_init(jax.random.PRNGKey(1)), None)
+        for oc in templates:
             template = create_train_state(model, Config().train,
                                           (1, 64, 64, 3), oc_params=oc)
             try:

@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
-import time
 
 import jax
 import jax.numpy as jnp
@@ -185,13 +184,13 @@ def main():
     cfg = build_config(args)
 
     from mrfp_tpu.core.mesh import create_mesh, replicate_state
-    from mrfp_tpu.data.loader import DataLoader, prefetch_to_device
+    from mrfp_tpu.data.loader import DataLoader
     from mrfp_tpu.models import MRFP
     from mrfp_tpu.perturb import oc_init
     from mrfp_tpu.train import create_train_state, make_jitted_steps
     from mrfp_tpu.train.checkpoint import CheckpointManager
     from mrfp_tpu.train.evaluator import SegEvaluator
-    from mrfp_tpu.utils import AverageMeter, prep_experiment
+    from mrfp_tpu.utils import prep_experiment
 
     exp = prep_experiment(cfg, root=args.runs_dir)
     logging.info("experiment %s (%d processes, %d devices)", exp["name"],
@@ -229,8 +228,6 @@ def main():
 
     jtrain, _ = make_jitted_steps(model, cfg, mesh)
     writer = exp["writer"]
-    loss_meter = AverageMeter()
-    t_last = time.perf_counter()
 
     val_dataset = build_dataset(args, cfg, train=False) \
         if args.eval_every else None
@@ -258,62 +255,10 @@ def main():
         writer.add_scalar("val/acc", res["acc"], step)
         return {"mean_iu": res["mean_iu"], "acc": res["acc"]}
 
-    step = int(state.step)
-    steps_per_epoch = max(1, len(loader))
-    metrics_for_ckpt = None
-
-    # Preemption-safe shutdown: on SIGTERM/SIGINT (maintenance eviction,
-    # ^C) finish the in-flight step, save a resumable checkpoint, exit 0.
-    # Orbax auto-resume picks it up on restart — no lost work on a pod that
-    # gets preempted between checkpoint_every boundaries.
-    import signal
-    preempted = {"flag": False}
-
-    def _on_signal(signum, frame):
-        preempted["flag"] = True
-        logging.warning("signal %d: checkpoint-and-exit after this step",
-                        signum)
-
-    prev_handlers = [(s, signal.signal(s, _on_signal))
-                     for s in (signal.SIGTERM, signal.SIGINT)]
-    while step < cfg.train.max_iter and not preempted["flag"]:
-        # epoch-dependent shuffle AND per-sample augmentation RNG
-        # (reference: DistributedSampler.set_epoch + worker re-seeding)
-        epoch = step // steps_per_epoch
-        loader.set_epoch(epoch)
-        for batch in prefetch_to_device(iter(loader), mesh):
-            state, metrics = jtrain(state, batch["image"].astype(jnp.float32),
-                                    batch["label"])
-            step += 1
-            if step % cfg.train.log_every == 0:
-                loss = float(metrics["loss"])  # sync point
-                loss_meter.update(loss)
-                dt = (time.perf_counter() - t_last) / cfg.train.log_every
-                t_last = time.perf_counter()
-                ips = cfg.data.batch_size / dt
-                logging.info("iter %d loss %.4f  %.1f img/s", step, loss, ips)
-                writer.add_scalar("train/loss", loss, step)
-                writer.add_scalar("train/images_per_sec", ips, step)
-            if args.eval_every and step % args.eval_every == 0:
-                metrics_for_ckpt = run_validation(state, step)
-                t_last = time.perf_counter()  # don't count eval in img/s
-            if step % cfg.train.checkpoint_every == 0 or \
-                    step >= cfg.train.max_iter - 20:
-                ckpt.save(state, metrics=metrics_for_ckpt,
-                          is_coordinator=jax.process_index() == 0)
-                metrics_for_ckpt = None  # only fresh val scores rotate best
-            if step >= cfg.train.max_iter or preempted["flag"]:
-                break
-    for s, h in prev_handlers:
-        signal.signal(s, h)
-    if args.eval_every and not preempted["flag"]:
-        metrics_for_ckpt = run_validation(state, step)
-    ckpt.save(state, metrics=metrics_for_ckpt,
-              is_coordinator=jax.process_index() == 0)
-    ckpt.wait()
-    logging.info("%s at step %d",
-                 "preempted (resumable)" if preempted["flag"] else "done",
-                 step)
+    from mrfp_tpu.train.loop import run_training_loop
+    run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=mesh,
+                      eval_every=args.eval_every,
+                      run_validation=run_validation)
 
 
 if __name__ == "__main__":

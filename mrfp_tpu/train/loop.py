@@ -1,0 +1,93 @@
+"""Shared training-loop driver for the CLI trainers.
+
+Factored out of cli.train so the MRFP trainer (the working equivalent of the
+reference's commented-out loop, main.py:844-871) and the zoo trainer
+(cli.train_zoo, the RobustNet-style objective of network/deepv3.py:547-600)
+run the exact same loop mechanics:
+
+- epoch-dependent shuffle AND per-sample augmentation RNG via
+  ``loader.set_epoch`` (reference: DistributedSampler.set_epoch + worker
+  re-seeding),
+- input pipeline overlapped with device steps (prefetch_to_device),
+- throughput/loss logging into the JSONL metric stream,
+- mid-train validation every ``eval_every`` iters feeding the best-by-mIoU
+  checkpoint rotation (RobustNet harness, utils/misc.py:139-257),
+- preemption-safe shutdown: SIGTERM/SIGINT finish the in-flight step, save a
+  resumable checkpoint, and return — Orbax auto-resume picks it up on
+  restart, so a pod preempted between checkpoint_every boundaries loses no
+  work.
+"""
+
+from __future__ import annotations
+
+import logging
+import signal
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
+                      eval_every: int = 0, run_validation=None):
+    """Drive ``jtrain(state, images, labels) -> (state, metrics)`` to
+    ``cfg.train.max_iter``. Returns ``(state, step, preempted)``; the final
+    checkpoint (resumable either way) is already saved on return."""
+    from mrfp_tpu.data.loader import prefetch_to_device
+    from mrfp_tpu.utils import AverageMeter
+
+    loss_meter = AverageMeter()
+    t_last = time.perf_counter()
+    step = int(state.step)
+    steps_per_epoch = max(1, len(loader))
+    metrics_for_ckpt = None
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+        logging.warning("signal %d: checkpoint-and-exit after this step",
+                        signum)
+
+    prev_handlers = [(s, signal.signal(s, _on_signal))
+                     for s in (signal.SIGTERM, signal.SIGINT)]
+    while step < cfg.train.max_iter and not preempted["flag"]:
+        epoch = step // steps_per_epoch
+        loader.set_epoch(epoch)
+        for batch in prefetch_to_device(iter(loader), mesh):
+            state, metrics = jtrain(state, batch["image"].astype(jnp.float32),
+                                    batch["label"])
+            step += 1
+            if step % cfg.train.log_every == 0:
+                loss = float(metrics["loss"])  # sync point
+                loss_meter.update(loss)
+                dt = (time.perf_counter() - t_last) / cfg.train.log_every
+                t_last = time.perf_counter()
+                ips = cfg.data.batch_size / dt
+                logging.info("iter %d loss %.4f  %.1f img/s", step, loss, ips)
+                writer.add_scalar("train/loss", loss, step)
+                writer.add_scalar("train/images_per_sec", ips, step)
+                for name in ("loss_aux", "loss_wt"):
+                    if name in metrics:
+                        writer.add_scalar(f"train/{name}",
+                                          float(metrics[name]), step)
+            if eval_every and step % eval_every == 0:
+                metrics_for_ckpt = run_validation(state, step)
+                t_last = time.perf_counter()  # don't count eval in img/s
+            if step % cfg.train.checkpoint_every == 0 or \
+                    step >= cfg.train.max_iter - 20:
+                ckpt.save(state, metrics=metrics_for_ckpt,
+                          is_coordinator=jax.process_index() == 0)
+                metrics_for_ckpt = None  # only fresh val scores rotate best
+            if step >= cfg.train.max_iter or preempted["flag"]:
+                break
+    for s, h in prev_handlers:
+        signal.signal(s, h)
+    if eval_every and not preempted["flag"]:
+        metrics_for_ckpt = run_validation(state, step)
+    ckpt.save(state, metrics=metrics_for_ckpt,
+              is_coordinator=jax.process_index() == 0)
+    ckpt.wait()
+    logging.info("%s at step %d",
+                 "preempted (resumable)" if preempted["flag"] else "done",
+                 step)
+    return state, step, preempted["flag"]

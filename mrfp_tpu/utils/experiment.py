@@ -74,18 +74,30 @@ def save_log(prefix: str, output_dir: str, rank: int = 0) -> None:
 
 
 class MetricWriter:
-    """JSONL scalar writer (tensorboardX stand-in, misc.py:115,249-254)."""
+    """Scalar metric writer (the tensorboardX role, misc.py:115,249-254).
 
-    def __init__(self, path: str):
+    Writes two sinks per scalar: a JSONL stream (greppable, no tooling
+    needed) and a real tfevents file (utils.tbevents, pure-Python encoder)
+    that stock TensorBoard loads with ``tensorboard --logdir <run>/tb``."""
+
+    def __init__(self, path: str, tb_dir: str | None = None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._f = open(path, "a", buffering=1)
+        self._tb = None
+        if tb_dir is not None:
+            from mrfp_tpu.utils.tbevents import TBEventWriter
+            self._tb = TBEventWriter(tb_dir)
 
     def add_scalar(self, tag: str, value: float, step: int):
         self._f.write(json.dumps({"tag": tag, "value": float(value),
                                   "step": int(step)}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def prep_experiment(cfg, root: str = "./runs") -> Dict[str, Any]:
@@ -95,6 +107,7 @@ def prep_experiment(cfg, root: str = "./runs") -> Dict[str, Any]:
     ckpt_dir = os.path.join(exp_dir, "ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
     save_log("log", exp_dir)
-    writer = MetricWriter(os.path.join(exp_dir, "metrics.jsonl"))
+    writer = MetricWriter(os.path.join(exp_dir, "metrics.jsonl"),
+                          tb_dir=os.path.join(exp_dir, "tb"))
     return {"name": name, "exp_dir": exp_dir, "ckpt_dir": ckpt_dir,
             "writer": writer}
