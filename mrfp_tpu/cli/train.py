@@ -183,7 +183,7 @@ def main():
 
     cfg = build_config(args)
 
-    from mrfp_tpu.core.mesh import create_mesh, replicate_state
+    from mrfp_tpu.core.mesh import create_mesh, shard_state
     from mrfp_tpu.data.loader import DataLoader
     from mrfp_tpu.models import MRFP
     from mrfp_tpu.perturb import oc_init
@@ -217,7 +217,7 @@ def main():
         else None
     state = create_train_state(model, cfg.train, (1, 64, 64, 3), oc_params=oc)
     if mesh is not None:
-        state = replicate_state(mesh, state)
+        state = shard_state(mesh, state)
 
     ckpt = CheckpointManager(exp["ckpt_dir"],
                              keep=cfg.train.keep_checkpoints)

@@ -178,7 +178,7 @@ def main():
     cfg = build_config(args)
 
     from mrfp_tpu.cli.train import build_dataset
-    from mrfp_tpu.core.mesh import create_mesh, replicate_state
+    from mrfp_tpu.core.mesh import create_mesh, shard_state
     from mrfp_tpu.data.loader import DataLoader
     from mrfp_tpu.models.deepv3_zoo import DeepV3Plus, build_cov_layers
     from mrfp_tpu.train import create_train_state
@@ -235,7 +235,7 @@ def main():
         logging.info("covstat phase: %d masks from %d view pairs",
                      len(wt_masks), len(pairs))
     if mesh is not None:
-        state = replicate_state(mesh, state)
+        state = shard_state(mesh, state)
 
     jtrain = make_zoo_jitted_step(model, cfg, mesh, wt_masks=wt_masks,
                                   wt_nrc=wt_nrc, aux_weight=args.aux_weight)

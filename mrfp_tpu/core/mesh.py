@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -107,3 +108,79 @@ def replicate_state(mesh: Mesh, state):
             lambda x: jax.make_array_from_process_local_data(
                 repl, np.asarray(x)), state)
     return jax.device_put(state, repl)
+
+
+def _model_axis(mesh: Mesh) -> Optional[str]:
+    """The mesh's model (tensor) axis name, or None if absent/size-1."""
+    if len(mesh.axis_names) >= 2:
+        name = mesh.axis_names[1]
+        if mesh.shape[name] > 1:
+            return name
+    return None
+
+
+def _tp_spec(x, mp: int, axis: str):
+    """Channel-sharding rule for one leaf, by shape/dtype alone.
+
+    Tensor parallelism for a fully-convolutional net: shard the CHANNEL
+    dimension. Conv kernels (HWIO) and dense kernels shard their output
+    features; 1-D per-channel vectors (BN scale/bias/running stats, biases)
+    shard their only dim. Anything non-float (step counters, PRNG keys) or
+    not divisible by the axis size stays replicated — GSPMD reshards at any
+    producer/consumer mismatch, so this rule only has to be *consistent*,
+    not complete (the classifier's 19-ch tensors, e.g., stay replicated).
+    """
+    shape = np.shape(x)
+    dt = getattr(x, "dtype", None)
+    if dt is None or not jnp.issubdtype(dt, jnp.floating):
+        return P()
+    if len(shape) >= 2 and shape[-1] % mp == 0 and shape[-1] >= mp:
+        return P(*([None] * (len(shape) - 1)), axis)
+    if len(shape) == 1 and shape[0] % mp == 0 and shape[0] >= mp:
+        return P(axis)
+    return P()
+
+
+def state_shardings(mesh: Mesh, tree):
+    """Per-leaf NamedShardings for a train-state pytree.
+
+    On a mesh whose 'model' axis is >1, float channel tensors (params, their
+    optimizer momentum mirrors, BN stats) shard over 'model' per _tp_spec —
+    the memory side of tensor parallelism (params + momentum no longer
+    replicated per chip). The frozen OC-branch params stay replicated: they
+    are tiny (~1.5 M) and re-randomized in-graph from a replicated key
+    (perturb/oc_branch.py), so sharding them buys nothing and costs a
+    reshard at every resample. On a pure-DP/SP mesh: everything replicated
+    (the parity configuration).
+    """
+    axis = _model_axis(mesh)
+    if axis is None:
+        repl = replicated(mesh)
+        return jax.tree_util.tree_map(lambda x: repl, tree)
+    mp = mesh.shape[axis]
+
+    def leaf(path, x):
+        if any("oc_params" in (getattr(p, "name", None),
+                               getattr(p, "key", None)) for p in path):
+            return replicated(mesh)
+        return NamedSharding(mesh, _tp_spec(x, mp, axis))
+
+    return jax.tree_util.tree_map_with_path(leaf, tree)
+
+
+def shard_state(mesh: Mesh, state):
+    """Device-put a host-built state pytree with state_shardings(mesh).
+
+    Drop-in for replicate_state that additionally implements the tensor-
+    parallel placement when the mesh has a >1 'model' axis. Multi-process
+    safe: every process holds the identical full host value (same seed) and
+    each device receives exactly its shard.
+    """
+    shardings = state_shardings(mesh, state)
+    if jax.process_count() > 1:
+        def put(x, s):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, s, lambda idx: arr[idx])
+        return jax.tree_util.tree_map(put, state, shardings)
+    return jax.tree_util.tree_map(jax.device_put, state, shardings)

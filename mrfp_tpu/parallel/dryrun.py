@@ -73,7 +73,7 @@ def run(n_devices: int) -> float:
 
     import numpy as np
     from mrfp_tpu.core.config import Config, MeshConfig
-    from mrfp_tpu.core.mesh import create_mesh, shard_batch
+    from mrfp_tpu.core.mesh import create_mesh, shard_batch, shard_state
     from mrfp_tpu.models import MRFP
     from mrfp_tpu.perturb import oc_init
     from mrfp_tpu.train import create_train_state, make_jitted_steps
@@ -85,13 +85,16 @@ def run(n_devices: int) -> float:
     images = rng.standard_normal((batch, hw, hw, 3)).astype(np.float32)
     labels = rng.integers(0, 19, (batch, hw, hw)).astype(np.int32)
 
-    def one_step(n: int, spatial: int = 1) -> float:
-        mesh = create_mesh(MeshConfig(spatial_parallel=spatial), devices[:n])
+    def one_step(n: int, spatial: int = 1, tensor: int = 1) -> float:
+        mesh = create_mesh(
+            MeshConfig(model_parallel=tensor, spatial_parallel=spatial),
+            devices[:n])
         assert mesh.devices.size == n, f"mesh has {mesh.devices.size} != {n}"
         state = create_train_state(model, cfg.train, (1, hw, hw, 3),
                                    oc_params=oc_init(jax.random.PRNGKey(1)))
-        state = jax.device_put(state, jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))
+        # replicated on a dp/sp mesh; channel tensors sharded over 'model'
+        # on a tp mesh (core/mesh.py state_shardings)
+        state = shard_state(mesh, state)
         imgs, lbls = shard_batch(mesh, (images, labels))
         assert len(imgs.sharding.device_set) == n, "batch not sharded over mesh"
         jtrain, _ = make_jitted_steps(model, cfg, mesh)
@@ -109,7 +112,7 @@ def run(n_devices: int) -> float:
     assert abs(loss_n - loss_1) <= 1e-4 * max(1.0, abs(loss_1)), (
         f"loss not device-count invariant: {n_devices}-dev {loss_n!r} "
         f"vs 1-dev {loss_1!r}")
-    loss_sp = None
+    loss_sp = loss_tp = None
     if n_devices >= 4 and n_devices % 2 == 0:
         # dp x sp mesh: image H sharded 2-way (GSPMD conv halo exchange,
         # core/mesh.py) — the same step must stay invariant
@@ -117,9 +120,18 @@ def run(n_devices: int) -> float:
         assert abs(loss_sp - loss_1) <= 1e-4 * max(1.0, abs(loss_1)), (
             f"loss not invariant under spatial sharding: "
             f"{n_devices // 2}x2 {loss_sp!r} vs 1-dev {loss_1!r}")
+        # dp x tp mesh: conv channels + BN stats + momentum sharded 2-way
+        # over 'model' (tensor parallelism, tests/test_tensor_parallel.py)
+        loss_tp = one_step(n_devices, tensor=2)
+        assert abs(loss_tp - loss_1) <= 1e-4 * max(1.0, abs(loss_1)), (
+            f"loss not invariant under tensor sharding: "
+            f"{n_devices // 2}x2(tp) {loss_tp!r} vs 1-dev {loss_1!r}")
+
+    def _fmt(v):
+        return "skipped" if v is None else format(v, ".6f")
+
     print(f"dryrun_multichip({n_devices}): loss={loss_n:.6f} "
-          f"(1-dev {loss_1:.6f}, dpxsp "
-          f"{'skipped' if loss_sp is None else format(loss_sp, '.6f')}) "
+          f"(1-dev {loss_1:.6f}, dpxsp {_fmt(loss_sp)}, dpxtp {_fmt(loss_tp)}) "
           f"devices={len(devices)} platform={jax.default_backend()} ok")
     return loss_n
 

@@ -148,11 +148,27 @@ def eval_step(params, batch_stats, images, *, model) -> jnp.ndarray:
     return jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
 
 
+def _state_sharding_constraint(mesh: Mesh):
+    """in/out sharding entry for the train-state argument.
+
+    Pure DP/SP mesh: force full replication (the parity configuration).
+    Mesh with a >1 'model' axis (tensor parallelism): leave it UNSPECIFIED —
+    the caller commits the state with core.mesh.shard_state (channel tensors
+    sharded over 'model'), jit adopts those shardings, and GSPMD propagates
+    them through the step so params/momentum/BN stats stay sharded in place
+    (donation keeps the update in-buffer)."""
+    from mrfp_tpu.core.mesh import _model_axis
+    if _model_axis(mesh) is not None:
+        return None
+    return NamedSharding(mesh, P())
+
+
 def mesh_jit_train(fn, mesh: Optional[Mesh]):
     """jit a ``(state, images, labels) -> (state, metrics)`` step under mesh
-    shardings: replicated state, batch over 'data' (+ image H over 'spatial'
-    when the mesh has one), pallas-free multi-device trace, donated state.
-    ``mesh=None`` is a plain donating jit. Shared by the MRFP and zoo steps."""
+    shardings: replicated (DP/SP) or caller-committed tensor-sharded (TP)
+    state, batch over 'data' (+ image H over 'spatial' when the mesh has
+    one), pallas-free multi-device trace, donated state. ``mesh=None`` is a
+    plain donating jit. Shared by the MRFP and zoo steps."""
     if mesh is None:
         return jax.jit(fn, donate_argnums=0)
     if mesh.size > 1:
@@ -166,17 +182,21 @@ def mesh_jit_train(fn, mesh: Optional[Mesh]):
 
     from mrfp_tpu.core.mesh import batch_sharding
     repl = NamedSharding(mesh, P())
+    st = _state_sharding_constraint(mesh)
     return jax.jit(fn,
-                   in_shardings=(repl, batch_sharding(mesh, 4),
+                   in_shardings=(st, batch_sharding(mesh, 4),
                                  batch_sharding(mesh, 3)),
-                   out_shardings=(repl, repl), donate_argnums=0)
+                   out_shardings=(st, repl), donate_argnums=0)
 
 
 def make_jitted_steps(model, cfg: Config, mesh: Optional[Mesh] = None):
     """Build jitted train/eval steps with mesh shardings.
 
-    State is replicated; the batch is sharded over 'data'. State buffers are
-    donated so params update in place (no HBM spike).
+    State is replicated on a DP/SP mesh; on a mesh with a >1 'model' axis
+    the caller commits it tensor-sharded via core.mesh.shard_state and jit
+    adopts those shardings (_state_sharding_constraint). The batch is
+    sharded over 'data'. State buffers are donated so params update in
+    place (no HBM spike).
     """
     t = functools.partial(train_step, model=model, cfg=cfg)
     e = functools.partial(eval_step, model=model)
@@ -219,7 +239,8 @@ def make_jitted_steps(model, cfg: Config, mesh: Optional[Mesh] = None):
     # has one (GSPMD conv halo exchange — core/mesh.py docstring)
     data4 = batch_sharding(mesh, 4)
     data3 = batch_sharding(mesh, 3)
-    jt = jax.jit(t, in_shardings=(repl, data4, data3),
-                 out_shardings=(repl, repl), donate_argnums=0)
-    je = jax.jit(e, in_shardings=(repl, repl, data4), out_shardings=data3)
+    st = _state_sharding_constraint(mesh)
+    jt = jax.jit(t, in_shardings=(st, data4, data3),
+                 out_shardings=(st, repl), donate_argnums=0)
+    je = jax.jit(e, in_shardings=(st, st, data4), out_shardings=data3)
     return jt, je

