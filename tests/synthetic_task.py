@@ -59,13 +59,35 @@ def build_gtav_tree(root: str, n_train: int = 48, n_val: int = 6,
 
 
 # --------------------------------------------------------------------------
-# Domain-generalization variant: class = TEXTURE (style-invariant cue),
-# per-image ink/paper colors drawn from a DOMAIN-specific photometric
-# distribution. Train on the "source" style, evaluate zero-shot on the
-# "target" style — the sim-to-real protocol of the paper (train GTAV, eval
-# Cityscapes, reference main.py:813-913) compressed into a sandbox-sized
-# executable experiment. Texture cues survive any global color shift;
-# a model that latches onto absolute channel statistics does not.
+# Domain-generalization variant — a CUE-CONFLICT task (the shortcut-learning
+# protocol of the DG literature): every class carries a TEXTURE (the
+# style-invariant cue, present in both domains) and, in most SOURCE images,
+# a class-correlated INK HUE (hue k/19 for class k) — an easy spurious
+# shortcut. A fraction ``p_scramble`` of source images draw random ink hues
+# instead, so texture is the only cue that explains the whole training set.
+# In the TARGET domain ink hues are ALWAYS random (color is uninformative —
+# deliberately not misleading, see below) and the paper/background style
+# shifts warm/bright -> cool/dim (plain covariate shift on top).
+#
+# Why this shape: a model free to exploit absolute channel statistics rides
+# the color shortcut and collapses on target, while MRFP+'s feature-
+# statistic perturbations (NP+ rescales per-channel stats by alpha ~
+# N(1, 0.75), perturb/np_plus.py; the OC branch re-randomizes multi-
+# resolution features, deepv3.py:280-367) corrupt exactly the color-
+# identity channel during training and force weight onto texture. This is
+# the sim-to-real protocol of the paper (train GTAV, eval Cityscapes,
+# reference main.py:813-913) compressed into a sandbox-sized executable
+# experiment with a CONTROLLED shortcut.
+#
+# Designs calibrated and rejected first (see CLAUDE.md round-3 notes):
+# pure covariate shift — mild (target paper_v 0.55-0.80) OR severe (2.5x
+# darker, half contrast) — leaves the plain baseline fully robust (target
+# mIoU 0.44 / 0.47 vs source 0.47: texture features are inherently
+# photometric-stable), and a PERFECT source shortcut whose hue wheel
+# rotates by 7/19 in target (misleading, not just uninformative) floors
+# both arms (0.087 vs 0.059): with p_scramble=0 even the perturbed model
+# rides the shortcut, and a hue derangement is not a per-channel affine
+# map, so it sits outside the perturbations' invariance family.
 # --------------------------------------------------------------------------
 
 def _texture_mask(cls: np.ndarray, hw: int) -> np.ndarray:
@@ -111,17 +133,21 @@ def _hsv_to_rgb(h, s, v):
     return np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
-# per-domain photometric style: (hue range, paper sat/val, ink sat/val).
-# Source is warm bright-paper/dark-ink; target is cool, dimmer paper and
-# lighter ink — a large shift in every channel statistic while keeping the
-# ink-darker-than-paper polarity (so the texture cue itself is preserved).
+# Per-domain photometric style. ``p_scramble`` is the probability that an
+# image's class->ink-hue LUT is replaced by 19 uniform-random hues: 0.25 in
+# source (color is an easy but INCOMPLETE shortcut; texture explains all
+# images), 1.0 in target (color is pure noise). The paper (background)
+# style shifts warm/bright -> cool/dim, and ink stays darker than paper in
+# both domains so the texture polarity is preserved. Both styles draw the
+# SAME number of rng values, so equal seeds produce identical class
+# layouts across domains.
 DG_STYLES = {
-    "source": dict(hue=(0.00, 0.17), paper_s=(0.10, 0.40),
-                   paper_v=(0.75, 0.95), ink_s=(0.30, 0.80),
-                   ink_v=(0.10, 0.35)),
-    "target": dict(hue=(0.50, 0.83), paper_s=(0.30, 0.70),
-                   paper_v=(0.55, 0.80), ink_s=(0.10, 0.50),
-                   ink_v=(0.25, 0.45)),
+    "source": dict(p_scramble=0.25, paper_hue=(0.00, 0.17),
+                   paper_s=(0.10, 0.40), paper_v=(0.75, 0.95),
+                   ink_s=(0.30, 0.80), ink_v=(0.10, 0.35)),
+    "target": dict(p_scramble=1.0, paper_hue=(0.50, 0.83),
+                   paper_s=(0.30, 0.70), paper_v=(0.55, 0.80),
+                   ink_s=(0.10, 0.50), ink_v=(0.25, 0.45)),
 }
 
 
@@ -131,16 +157,21 @@ def _dg_sample(rng: np.random.Generator, hw: int, block: int, style: dict):
     label = np.repeat(np.repeat(classes, block, 0), block, 1).astype(np.uint8)
     ink = _texture_mask(label.astype(np.int64), hw)
 
-    def draw(lo, hi):
-        return rng.uniform(lo, hi)
+    def draw(lo, hi, size=None):
+        return rng.uniform(lo, hi, size)
 
-    h = draw(*style["hue"])
-    paper = _hsv_to_rgb(np.full((), h), draw(*style["paper_s"]),
+    paper = _hsv_to_rgb(np.full((), draw(*style["paper_hue"])),
+                        draw(*style["paper_s"]),
                         draw(*style["paper_v"])).astype(np.int16)
-    ink_c = _hsv_to_rgb(np.full((), (h + rng.uniform(-0.05, 0.05)) % 1.0),
-                        draw(*style["ink_s"]),
-                        draw(*style["ink_v"])).astype(np.int16)
-    img = np.where(ink[..., None], ink_c, paper)
+    # class->hue LUT (hue k/19 + jitter), or 19 random hues when scrambled;
+    # both branches consume identical rng draws (seed-stable class layouts)
+    rand_hue = draw(0.0, 1.0, 19)
+    lut_hue = (np.arange(19) / 19.0 + draw(-0.015, 0.015, 19)) % 1.0
+    scrambled = draw(0.0, 1.0) < style["p_scramble"]
+    hue = rand_hue if scrambled else lut_hue
+    ink_lut = _hsv_to_rgb(hue, draw(*style["ink_s"], 19),
+                          draw(*style["ink_v"], 19)).astype(np.int16)
+    img = np.where(ink[..., None], ink_lut[label], paper)
     img = img + rng.integers(-8, 9, img.shape)
     return np.clip(img, 0, 255).astype(np.uint8), label
 

@@ -3,13 +3,16 @@ scientific claim (feature perturbation improves zero-shot transfer to an
 unseen visual domain, README.md:5-27 / the MRFP paper's GTAV->Cityscapes
 table) compressed into a sandbox-executable experiment.
 
-Protocol (tests/synthetic_task.py build_dg_tree): class = TEXTURE (a
-style-invariant cue), per-image colors drawn from a DOMAIN-specific
-photometric style. Train on the warm/bright "source" style with NO color
-jitter (isolating the model-level mechanism), evaluate zero-shot on the
-cool/dim "target" style. A model that latches onto absolute channel
-statistics transfers badly; MRFP+'s feature-statistic perturbation is
-exactly the device meant to prevent that (deepv3.py:280-367).
+Protocol (tests/synthetic_task.py build_dg_tree): a cue-conflict task —
+class = TEXTURE (style-invariant, present in both domains) plus a
+class-correlated INK-HUE shortcut that holds in ~75% of source images and
+NEVER in the target (random hues there, plus a cool/dim paper covariate
+shift). Train on source with NO color jitter (isolating the model-level
+mechanism), evaluate zero-shot on target. A model free to ride absolute
+channel statistics exploits the color shortcut and collapses on target;
+MRFP+'s feature-statistic perturbations corrupt exactly that channel
+during training (NP+ alpha ~ N(1,0.75), perturb/np_plus.py; OC branch,
+deepv3.py:280-367) and force weight onto the texture cue.
 
 Assertions (calibrated, see CLAUDE.md round-3 notes):
 - both arms learn the SOURCE domain (capacity sanity),
@@ -25,9 +28,10 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
-from synthetic_task import build_dg_tree
+from synthetic_task import DG_STYLES, _dg_sample, _texture_mask, build_dg_tree
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FULL = os.environ.get("MRFP_DG_FULL", "") == "1"
@@ -37,7 +41,7 @@ def _cli_env(platform="cpu"):
     env = dict(os.environ)
     if platform is not None:
         env["JAX_PLATFORMS"] = platform
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # see parallel/dryrun.py
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # see parallel/dryrun.py
     pp = env.get("PYTHONPATH", "")
     env["PYTHONPATH"] = REPO + (os.pathsep + pp if pp else "")
     return env
@@ -52,12 +56,12 @@ def _run(args, timeout=7200, platform="cpu"):
 
 
 def train_arm(src_tree, runs_dir, mode, steps, crop, lr="1e-2",
-              platform="cpu"):
+              platform="cpu", seed=0):
     """Train one arm on the source tree; returns its checkpoint dir."""
     _run(["mrfp_tpu.cli.train", "--source", "gtav", "--data-root", src_tree,
           "--trunk", "resnet-18", "--variant", "D32", "--mode", mode,
           "--batch-size", "8", "--crop-size", str(crop),
-          "--max-iter", str(steps), "--lr", lr,
+          "--max-iter", str(steps), "--lr", lr, "--seed", str(seed),
           "--no-color-jitter", "--no-gaussian-blur",
           "--scale-range", "1.0", "1.0", "--ckpt-every", str(steps),
           "--log-every", "100", "--runs-dir", runs_dir],
@@ -77,24 +81,94 @@ def eval_arm(ckpt, tree, json_path, platform="cpu"):
 
 def run_dg_experiment(workdir, steps, crop=96, block=32, hw=256,
                       n_train=64, n_val=8, platform="cpu",
-                      modes=("mrfp+", "baseline")):
+                      modes=("mrfp+", "baseline"), seed=0):
     src = build_dg_tree(os.path.join(workdir, "src"), "source",
                         n_train=n_train, n_val=n_val, hw=hw, block=block)
     tgt = build_dg_tree(os.path.join(workdir, "tgt"), "target",
                         n_train=1, n_val=n_val, hw=hw, block=block)
     out = {}
     for mode in modes:
-        ckpt = train_arm(src, os.path.join(workdir, f"runs_{mode}"),
-                         mode, steps, crop, platform=platform)
+        tag = f"{mode}_s{seed}" if seed else mode
+        ckpt = train_arm(src, os.path.join(workdir, f"runs_{tag}"),
+                         mode, steps, crop, platform=platform, seed=seed)
         out[mode] = {
             "source": eval_arm(ckpt, src,
-                               os.path.join(workdir, f"{mode}_src.json"),
+                               os.path.join(workdir, f"{tag}_src.json"),
                                platform=platform),
             "target": eval_arm(ckpt, tgt,
-                               os.path.join(workdir, f"{mode}_tgt.json"),
+                               os.path.join(workdir, f"{tag}_tgt.json"),
                                platform=platform),
         }
     return out
+
+
+def _rgb_hue(rgb):
+    """Hue in [0,1) of an (r,g,b) float triple (HSV convention)."""
+    r, g, b = rgb
+    mx, mn = max(rgb), min(rgb)
+    if mx - mn < 1e-6:
+        return 0.0
+    if mx == r:
+        h = ((g - b) / (mx - mn)) % 6.0
+    elif mx == g:
+        h = (b - r) / (mx - mn) + 2.0
+    else:
+        h = (r - g) / (mx - mn) + 4.0
+    return h / 6.0
+
+
+def _hue_dist(a, b):
+    d = abs(a - b) % 1.0
+    return min(d, 1.0 - d)
+
+
+def _class_hue_alignment(img, lab, ink):
+    """Mean wheel distance of each class's ink hue to its LUT hue k/19."""
+    dists = []
+    for k in np.unique(lab):
+        sel = ink & (lab == k)
+        if sel.sum() < 100:
+            continue
+        dists.append(_hue_dist(_rgb_hue(img[sel].mean(0) / 255.0), k / 19.0))
+    return float(np.mean(dists))
+
+
+def test_dg_task_structure():
+    """Fast, deterministic guard on the DG generator's cue-conflict
+    contract: the texture cue is domain-invariant; the class->ink-hue
+    shortcut holds in ~75% of source images and in NO target image; the
+    paper style is a covariate shift that preserves ink-darker-than-paper."""
+    hw, block = 256, 32
+    n = 40
+    align = {"source": [], "target": []}
+    paper_means, gap = {}, {}
+    for dom in ("source", "target"):
+        rng = np.random.default_rng(7)
+        imgs, labs = zip(*(_dg_sample(rng, hw, block, DG_STYLES[dom])
+                           for _ in range(n)))
+        # same rng stream -> identical class layouts across domains (the
+        # texture cue is bit-identical; only photometry differs)
+        if dom == "source":
+            src_labs = labs
+        else:
+            assert all((a == b).all() for a, b in zip(src_labs, labs))
+        inks = [_texture_mask(l.astype(np.int64), hw) for l in labs]
+        assert 0.2 < np.mean([m.mean() for m in inks]) < 0.8
+        align[dom] = [_class_hue_alignment(i, l, m)
+                      for i, l, m in zip(imgs, labs, inks)]
+        paper_means[dom] = np.mean([i[~m].mean() for i, m in zip(imgs, inks)])
+        gap[dom] = np.mean([i[~m].mean() - i[m].mean()
+                            for i, m in zip(imgs, inks)])
+    # source: ~75% of images carry the shortcut (hue aligned to k/19),
+    # ~25% are scrambled — texture is the only complete cue
+    aligned = np.asarray(align["source"]) < 0.05
+    assert 0.55 <= aligned.mean() <= 0.92, align["source"]
+    # target: the shortcut NEVER holds (random hues ~ mean wheel dist 0.25)
+    assert min(align["target"]) > 0.08, align["target"]
+    assert np.mean(align["target"]) > 0.17
+    # covariate shift: cool/dim paper, but ink stays darker than paper
+    assert paper_means["source"] > paper_means["target"] + 20
+    assert gap["source"] > 40 and gap["target"] > 25
 
 
 @pytest.mark.slow
@@ -111,11 +185,24 @@ def test_mrfp_generalizes_across_style_shift(tmp_path):
 
 
 if __name__ == "__main__":
-    # full-budget manual run (TPU: inherits JAX_PLATFORMS from the env)
+    # full-budget multi-seed run (TPU: inherits JAX_PLATFORMS from the env):
+    #   python test_dg_generalization.py <workdir> [steps] [seeds]
     import tempfile
     workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
         prefix="dg_experiment_")
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
-    res = run_dg_experiment(workdir, steps, crop=256, block=64, hw=256,
-                            n_train=200, n_val=16, platform=None)
-    print(json.dumps(res, indent=2))
+    seeds = [int(s) for s in sys.argv[3].split(",")] if len(sys.argv) > 3 \
+        else [0, 1, 2]
+    res = {}
+    for seed in seeds:
+        res[seed] = run_dg_experiment(
+            workdir, steps, crop=256, block=64, hw=256,
+            n_train=200, n_val=16, platform=None, seed=seed)
+        print(f"seed {seed}:", json.dumps(res[seed]), flush=True)
+        with open(os.path.join(workdir, "summary.json"), "w") as f:
+            json.dump(res, f, indent=1)
+    for mode in ("mrfp+", "baseline"):
+        for dom in ("source", "target"):
+            v = [res[s][mode][dom]["mean_iu"] for s in seeds]
+            print(f"{mode:9s} {dom:7s} mIoU "
+                  f"{np.mean(v):.3f} +- {np.std(v):.3f}  {v}")
