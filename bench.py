@@ -26,6 +26,14 @@ A100_PYTORCH_IMG_PER_SEC = 18.0  # estimated reference throughput (see docstring
 
 
 def main():
+    # preflight BEFORE creating the in-process jax client: the axon execute
+    # path can wedge (hangs forever, unrecoverable in-process — CLAUDE.md);
+    # a bounded subprocess probe turns that into a delay instead of a hang,
+    # and the advisory lock keeps us off the device while another run owns
+    # it (one axon client at a time).
+    from mrfp_tpu.utils.tpu_health import (acquire_device_lock,
+                                           wait_until_healthy)
+    wait_until_healthy()
     # persistent compilation cache: the ~5 min first-compile of the 768^2
     # train step is paid once per machine, not per bench run (MRFP_JAX_CACHE
     # overrides the location; empty disables)
@@ -41,6 +49,7 @@ def main():
     from mrfp_tpu.train import create_train_state, make_jitted_steps
 
     cfg = Config()
+    acquire_device_lock()
     n_chips = jax.device_count()
     batch = 8 * n_chips          # per-chip batch 8 fits one v5e chip
     hw = cfg.data.crop_size      # 768

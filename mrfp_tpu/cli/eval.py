@@ -136,6 +136,12 @@ def main():
     logging.basicConfig(level=logging.INFO)
     from mrfp_tpu.utils import enable_persistent_compile_cache
     enable_persistent_compile_cache()
+    # axon preflight (no-op off-TPU): see utils/tpu_health.py
+    from mrfp_tpu.utils.tpu_health import (acquire_device_lock, tpu_platform,
+                                           wait_until_healthy)
+    if tpu_platform():
+        wait_until_healthy()
+        acquire_device_lock()
     model, params, stats = load_model_and_params(args)
 
     from mrfp_tpu.data.datasets import (DATASETS, VAL_SPLITS,

@@ -176,6 +176,16 @@ def main():
     from mrfp_tpu.utils import enable_persistent_compile_cache
     enable_persistent_compile_cache()
 
+    # axon preflight: bounded wait for a healthy execute path + advisory
+    # single-client lock (no-op off-TPU; MRFP_TPU_PREFLIGHT=0 skips).
+    # Single-process runs only: cluster processes coordinate through the
+    # distributed runtime, and same-host ranks must not wait on each other.
+    from mrfp_tpu.utils.tpu_health import (acquire_device_lock, tpu_platform,
+                                           wait_until_healthy)
+    if tpu_platform() and args.num_processes in (None, 1):
+        wait_until_healthy()
+        acquire_device_lock()
+
     # multi-host bootstrap BEFORE any device query (main.py:42-52 equivalent)
     from mrfp_tpu.parallel.dist import initialize_distributed
     multiproc = initialize_distributed(args.coordinator_address,
