@@ -88,6 +88,11 @@ def parse_args():
                         "best-by-mIoU checkpoint rotation")
     p.add_argument("--eval-max-images", type=int, default=None)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--step-timeout", type=float, default=None,
+                   help="exit 75 (restartable; training auto-resumes) when "
+                        "no step syncs for this many seconds — failure "
+                        "detection for wedged device execution. Default: "
+                        "1800 on TPU, off elsewhere; 0 disables")
     p.add_argument("--runs-dir", default="./runs")
     # distributed / mesh (reference main.py:42-52 WORLD_SIZE bootstrap)
     p.add_argument("--coordinator-address", default=None,
@@ -266,9 +271,11 @@ def main():
         return {"mean_iu": res["mean_iu"], "acc": res["acc"]}
 
     from mrfp_tpu.train.loop import run_training_loop
+    from mrfp_tpu.utils.watchdog import watchdog_from_arg
     run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=mesh,
                       eval_every=args.eval_every,
-                      run_validation=run_validation)
+                      run_validation=run_validation,
+                      watchdog=watchdog_from_arg(args.step_timeout))
 
 
 if __name__ == "__main__":

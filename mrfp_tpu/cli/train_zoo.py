@@ -83,6 +83,10 @@ def parse_args():
     p.add_argument("--eval-every", type=int, default=0)
     p.add_argument("--eval-max-images", type=int, default=None)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--step-timeout", type=float, default=None,
+                   help="exit 75 (restartable) when no step syncs for this "
+                        "many seconds; default 1800 on TPU, off elsewhere; "
+                        "0 disables")
     p.add_argument("--runs-dir", default="./runs")
     p.add_argument("--coordinator-address", default=None)
     p.add_argument("--num-processes", type=int, default=None)
@@ -260,9 +264,11 @@ def main():
         writer.add_scalar("val/acc", res["acc"], step)
         return {"mean_iu": res["mean_iu"], "acc": res["acc"]}
 
+    from mrfp_tpu.utils.watchdog import watchdog_from_arg
     run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=mesh,
                       eval_every=args.eval_every,
-                      run_validation=run_validation)
+                      run_validation=run_validation,
+                      watchdog=watchdog_from_arg(args.step_timeout))
 
 
 if __name__ == "__main__":

@@ -29,10 +29,16 @@ import jax.numpy as jnp
 
 
 def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
-                      eval_every: int = 0, run_validation=None):
+                      eval_every: int = 0, run_validation=None,
+                      watchdog=None):
     """Drive ``jtrain(state, images, labels) -> (state, metrics)`` to
     ``cfg.train.max_iter``. Returns ``(state, step, preempted)``; the final
-    checkpoint (resumable either way) is already saved on return."""
+    checkpoint (resumable either way) is already saved on return.
+
+    ``watchdog`` (utils/watchdog.StepWatchdog, already started): beaten at
+    every sync point — the log_every loss fetch, each finished validation,
+    and the final checkpoint barrier — and stopped on normal return, so a
+    wedged device execution exits 75 instead of hanging forever."""
     from mrfp_tpu.data.loader import prefetch_to_device
     from mrfp_tpu.utils import AverageMeter
 
@@ -59,6 +65,8 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
             step += 1
             if step % cfg.train.log_every == 0:
                 loss = float(metrics["loss"])  # sync point
+                if watchdog is not None:
+                    watchdog.beat()
                 loss_meter.update(loss)
                 dt = (time.perf_counter() - t_last) / cfg.train.log_every
                 t_last = time.perf_counter()
@@ -72,6 +80,8 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
                                           float(metrics[name]), step)
             if eval_every and step % eval_every == 0:
                 metrics_for_ckpt = run_validation(state, step)
+                if watchdog is not None:
+                    watchdog.beat()
                 t_last = time.perf_counter()  # don't count eval in img/s
             if step % cfg.train.checkpoint_every == 0 or \
                     step >= cfg.train.max_iter - 20:
@@ -87,6 +97,9 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
     ckpt.save(state, metrics=metrics_for_ckpt,
               is_coordinator=jax.process_index() == 0)
     ckpt.wait()
+    if watchdog is not None:
+        watchdog.beat()
+        watchdog.stop()
     logging.info("%s at step %d",
                  "preempted (resumable)" if preempted["flag"] else "done",
                  step)

@@ -1,0 +1,95 @@
+"""Step watchdog (utils/watchdog.py): failure detection for wedged device
+execution. A wedged axon execute blocks forever with no exception; the
+watchdog turns that into exit 75 + supervisor restart + checkpoint
+auto-resume. These tests inject on_timeout to observe firing without
+killing the test process."""
+
+import threading
+import time
+
+from mrfp_tpu.utils.watchdog import StepWatchdog, watchdog_from_arg
+
+
+def _make(timeout_s, first=0.0):
+    fired = threading.Event()
+    wd = StepWatchdog(timeout_s, first_beat_timeout_s=first,
+                      on_timeout=fired.set, poll_s=0.05)
+    return wd, fired
+
+
+def test_fires_without_beats():
+    wd, fired = _make(0.2)
+    wd.start()
+    assert fired.wait(5.0), "watchdog never fired with no heartbeat"
+    wd.stop()
+
+
+def test_beats_keep_it_alive_then_stop():
+    wd, fired = _make(0.5)
+    wd.start()
+    for _ in range(6):
+        time.sleep(0.2)
+        wd.beat()
+    assert not fired.is_set(), "fired despite regular heartbeats"
+    wd.stop()
+    time.sleep(0.8)
+    assert not fired.is_set(), "fired after stop()"
+
+
+def test_first_beat_window_is_generous():
+    # steady window 0.2s, first-beat window 1.5s: the "compile" phase
+    # (no beats yet) must survive past 0.2s
+    wd, fired = _make(0.2, first=1.5)
+    wd.start()
+    time.sleep(0.7)
+    assert not fired.is_set(), "fired during the first-beat grace window"
+    wd.beat()  # first step done -> steady-state window takes over
+    time.sleep(0.7)
+    assert fired.wait(2.0), "never fired after steady-state window expired"
+    wd.stop()
+
+
+def test_exit_code_is_tempfail():
+    assert StepWatchdog.EXIT_CODE == 75  # EX_TEMPFAIL: retry me
+
+
+def test_default_action_hard_exits_75():
+    # the real path: a "wedged" main thread (sleep) cannot be unwound, the
+    # watchdog thread must take the whole process down with EX_TEMPFAIL
+    import subprocess
+    import sys
+    src = ("import time\n"
+           "from mrfp_tpu.utils.watchdog import StepWatchdog\n"
+           "StepWatchdog(0.3, first_beat_timeout_s=0.3, poll_s=0.05,"
+           " name='t').start()\n"
+           "time.sleep(30)\n")
+    p = subprocess.run([sys.executable, "-c", src], timeout=25,
+                       capture_output=True, text=True)
+    assert p.returncode == StepWatchdog.EXIT_CODE, (p.returncode, p.stderr)
+
+
+def test_from_arg_policy(monkeypatch):
+    # forced-CPU (the test env): auto means off
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert watchdog_from_arg(None) is None
+    # explicit 0 disables everywhere
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert watchdog_from_arg(0) is None
+    # explicit timeout: started watchdog with the compile-covering first
+    # window, even off-TPU (a CPU soak can want one too)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    wd = watchdog_from_arg(10.0)
+    try:
+        assert wd is not None and wd.timeout_s == 10.0
+        assert wd.first_beat_timeout_s == 3600.0
+        assert wd._thread is not None and wd._thread.is_alive()
+    finally:
+        wd.stop()
+    # auto on TPU platforms: on, 1800s
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    wd = watchdog_from_arg(None)
+    try:
+        assert wd is not None and wd.timeout_s == 1800.0
+    finally:
+        wd.stop()
