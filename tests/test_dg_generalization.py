@@ -63,14 +63,20 @@ def _run(args, timeout=7200, platform="cpu"):
 def train_arm(src_tree, runs_dir, mode, steps, crop, lr="1e-2",
               platform="cpu", seed=0):
     """Train one arm on the source tree; returns its checkpoint dir."""
-    _run(["mrfp_tpu.cli.train", "--source", "gtav", "--data-root", src_tree,
-          "--trunk", "resnet-18", "--variant", "D32", "--mode", mode,
-          "--batch-size", "8", "--crop-size", str(crop),
-          "--max-iter", str(steps), "--lr", lr, "--seed", str(seed),
-          "--no-color-jitter", "--no-gaussian-blur",
-          "--scale-range", "1.0", "1.0", "--ckpt-every", str(steps),
-          "--log-every", "100", "--runs-dir", runs_dir],
-         platform=platform)
+    args = ["mrfp_tpu.cli.train", "--source", "gtav", "--data-root", src_tree,
+            "--trunk", "resnet-18", "--variant", "D32", "--mode", mode,
+            "--batch-size", "8", "--crop-size", str(crop),
+            "--max-iter", str(steps), "--lr", lr, "--seed", str(seed),
+            "--no-color-jitter", "--no-gaussian-blur",
+            "--scale-range", "1.0", "1.0",
+            "--ckpt-every", str(min(steps, 500)),
+            "--log-every", "100", "--runs-dir", runs_dir]
+    if platform is None:
+        # TPU full-budget mode: detect a wedged execute in minutes (exit 75)
+        # so a supervising retry loop can relaunch; auto-resume + the 500-
+        # step checkpoint cadence bound the lost work (utils/watchdog.py)
+        args += ["--step-timeout", "600"]
+    _run(args, platform=platform)
     ckpts = glob.glob(os.path.join(runs_dir, "*", "ckpt"))
     assert len(ckpts) == 1, ckpts
     return ckpts[0]
