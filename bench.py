@@ -48,6 +48,13 @@ def main():
     from mrfp_tpu.perturb import oc_init
     from mrfp_tpu.train import create_train_state, make_jitted_steps
 
+    # if the execute path wedges AFTER the preflight, warmup would hang
+    # forever; the watchdog turns that into exit 75 for the caller to retry
+    # (no beat needed before the first loss fetch — the first-beat window
+    # covers a fresh tunnel compile)
+    from mrfp_tpu.utils.watchdog import watchdog_from_arg
+    watchdog = watchdog_from_arg(None)
+
     cfg = Config()
     acquire_device_lock()
     n_chips = jax.device_count()
@@ -79,6 +86,8 @@ def main():
     for _ in range(3):
         state, metrics = jtrain(state, images, labels)
     _ = float(metrics["loss"])
+    if watchdog is not None:
+        watchdog.beat()
 
     iters = 40
     t0 = time.perf_counter()
@@ -86,6 +95,8 @@ def main():
         state, metrics = jtrain(state, images, labels)
     _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
+    if watchdog is not None:
+        watchdog.stop()
 
     img_per_sec_per_chip = batch * iters / dt / n_chips
     print(json.dumps({

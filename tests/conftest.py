@@ -13,6 +13,12 @@ import os
 # whose default matmul precision is bf16 — parity tests need fp32 exactness.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_DEFAULT_MATMUL_PRECISION"] = "highest"
+# The axon plugin env var overrides JAX_PLATFORMS at plugin registration
+# AND makes utils.tpu_health.tpu_platform() report a TPU — in-process tests
+# would then run REAL device probes (against a possibly wedged tunnel,
+# violating the one-client rule). Tests are genuinely CPU-only; drop it.
+# (Subprocess-spawning tests already pop it from their own env copies.)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax
 
