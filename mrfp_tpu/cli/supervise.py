@@ -68,7 +68,13 @@ def supervise(cmd, max_restarts: int = 20, backoff: float = 60.0,
     restarts = 0
     while True:
         t0 = time.monotonic()
-        rc = _run(cmd).returncode
+        try:
+            rc = _run(cmd).returncode
+        except OSError as e:
+            # unlaunchable command (typo, missing interpreter): a real
+            # error, not a restartable one — clean exit, no traceback
+            logging.error("supervise: cannot launch %r: %s", cmd[0], e)
+            return 127
         if rc == 0:
             if restarts:
                 logging.info("supervise: succeeded after %d restart(s)",

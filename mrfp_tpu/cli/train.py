@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -207,7 +208,7 @@ def main():
     from mrfp_tpu.train.evaluator import SegEvaluator
     from mrfp_tpu.utils import prep_experiment
 
-    exp = prep_experiment(cfg, root=args.runs_dir)
+    exp = prep_experiment(cfg, root=args.runs_dir, rank=jax.process_index())
     logging.info("experiment %s (%d processes, %d devices)", exp["name"],
                  jax.process_count(), jax.device_count())
 
@@ -255,15 +256,22 @@ def main():
                              num_classes=cfg.model.num_classes) \
         if args.eval_every else None
 
+    from mrfp_tpu.utils.watchdog import watchdog_from_arg
+    watchdog = watchdog_from_arg(args.step_timeout)
+
     def run_validation(state, step):
         ev = evaluator
         ev.params, ev.batch_stats = state.params, state.batch_stats
         # every process scores a disjoint stride of the val set; partial
-        # histograms merge via all-gather so all ranks see the same mIoU
+        # histograms merge via all-gather so all ranks see the same mIoU.
+        # heartbeat: a mixed-shape validation can legitimately take many
+        # minutes (one tunnel compile per distinct shape) — beat per synced
+        # image so the watchdog only fires on a genuinely wedged device
         res = ev.run(val_dataset, max_images=args.eval_max_images,
                      log=lambda *a, **k: None,
                      shard_rank=jax.process_index(),
-                     shard_count=jax.process_count())
+                     shard_count=jax.process_count(),
+                     heartbeat=watchdog.beat if watchdog else None)
         logging.info("iter %d val mean_iu %.5f acc %.5f", step,
                      res["mean_iu"], res["acc"])
         writer.add_scalar("val/mean_iu", res["mean_iu"], step)
@@ -271,12 +279,19 @@ def main():
         return {"mean_iu": res["mean_iu"], "acc": res["acc"]}
 
     from mrfp_tpu.train.loop import run_training_loop
-    from mrfp_tpu.utils.watchdog import watchdog_from_arg
-    run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=mesh,
-                      eval_every=args.eval_every,
-                      run_validation=run_validation,
-                      watchdog=watchdog_from_arg(args.step_timeout))
+    _, step, preempted = run_training_loop(
+        state, loader, jtrain, cfg, ckpt, writer, mesh=mesh,
+        eval_every=args.eval_every, run_validation=run_validation,
+        watchdog=watchdog)
+    if preempted and step < cfg.train.max_iter:
+        # resumable-but-incomplete must NOT look like success: exit 75
+        # (EX_TEMPFAIL) so cli.supervise / any restart policy relaunches
+        # and Orbax auto-resume continues from the checkpoint just saved
+        logging.warning("preempted at step %d/%d (resumable); exit 75",
+                        step, cfg.train.max_iter)
+        return 75
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import logging
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -175,6 +176,15 @@ def main():
     from mrfp_tpu.utils import enable_persistent_compile_cache
     enable_persistent_compile_cache()
 
+    # axon preflight + advisory one-client lock, same policy as cli.train:
+    # a wedged execute path delays the launch instead of hanging it, and a
+    # concurrent probe/job never attaches while this run owns the device
+    from mrfp_tpu.utils.tpu_health import (acquire_device_lock, tpu_platform,
+                                           wait_until_healthy)
+    if tpu_platform() and args.num_processes in (None, 1):
+        wait_until_healthy()
+        acquire_device_lock()
+
     from mrfp_tpu.parallel.dist import initialize_distributed
     multiproc = initialize_distributed(args.coordinator_address,
                                        args.num_processes, args.process_id)
@@ -192,7 +202,7 @@ def main():
     from mrfp_tpu.train.zoo_step import covstat_pass, make_zoo_jitted_step
     from mrfp_tpu.utils import prep_experiment
 
-    exp = prep_experiment(cfg, root=args.runs_dir)
+    exp = prep_experiment(cfg, root=args.runs_dir, rank=jax.process_index())
     logging.info("zoo experiment %s (%d processes, %d devices)", exp["name"],
                  jax.process_count(), jax.device_count())
 
@@ -251,25 +261,35 @@ def main():
                              num_classes=cfg.model.num_classes) \
         if args.eval_every else None
 
+    from mrfp_tpu.utils.watchdog import watchdog_from_arg
+    watchdog = watchdog_from_arg(args.step_timeout)
+
     def run_validation(state, step):
         ev = evaluator
         ev.params, ev.batch_stats = state.params, state.batch_stats
         res = ev.run(val_dataset, max_images=args.eval_max_images,
                      log=lambda *a, **k: None,
                      shard_rank=jax.process_index(),
-                     shard_count=jax.process_count())
+                     shard_count=jax.process_count(),
+                     heartbeat=watchdog.beat if watchdog else None)
         logging.info("iter %d val mean_iu %.5f acc %.5f", step,
                      res["mean_iu"], res["acc"])
         writer.add_scalar("val/mean_iu", res["mean_iu"], step)
         writer.add_scalar("val/acc", res["acc"], step)
         return {"mean_iu": res["mean_iu"], "acc": res["acc"]}
 
-    from mrfp_tpu.utils.watchdog import watchdog_from_arg
-    run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=mesh,
-                      eval_every=args.eval_every,
-                      run_validation=run_validation,
-                      watchdog=watchdog_from_arg(args.step_timeout))
+    _, step, preempted = run_training_loop(
+        state, loader, jtrain, cfg, ckpt, writer, mesh=mesh,
+        eval_every=args.eval_every, run_validation=run_validation,
+        watchdog=watchdog)
+    if preempted and step < cfg.train.max_iter:
+        # resumable-but-incomplete must NOT look like success (cli.train
+        # has the same policy): 75 tells cli.supervise to relaunch
+        logging.warning("preempted at step %d/%d (resumable); exit 75",
+                        step, cfg.train.max_iter)
+        return 75
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

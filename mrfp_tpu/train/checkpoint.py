@@ -84,14 +84,14 @@ class CheckpointManager:
             self._best_value = metrics[self.best_metric]
             self._best_step = step
             best_dir = os.path.join(self.directory, "best")
-            if is_coordinator and os.path.isdir(best_dir):
-                # rotation: one best checkpoint at a time (utils/misc.py:
-                # 162-231 deletes the previous best .pth the same way).
-                # Safe ordering: other processes park at the barrier inside
-                # ckptr.save below until the coordinator (who rmtree'd
-                # first) arrives there.
-                import shutil
-                shutil.rmtree(best_dir)
+            # Crash-safe rotation order: save the NEW best first (alongside
+            # the previous one), commit, update metric.json, THEN delete the
+            # old step dir. A crash anywhere in the window leaves at worst
+            # two best checkpoints and a metric.json naming a committed one
+            # — never an empty best/ whose record reset to -inf (the old
+            # rmtree-first order lost every best on a mid-save SIGKILL).
+            # The rotation itself mirrors utils/misc.py:162-231 (one best
+            # checkpoint at a time).
             ckptr = ocp.StandardCheckpointer()
             ckptr.save(os.path.join(best_dir, f"step_{step}"), state,
                        force=True)
@@ -100,6 +100,11 @@ class CheckpointManager:
             ckptr.wait_until_finished()
             if is_coordinator:
                 self._write_best_record(step)
+                import shutil
+                for name in os.listdir(best_dir):
+                    if name.startswith("step_") and name != f"step_{step}":
+                        shutil.rmtree(os.path.join(best_dir, name),
+                                      ignore_errors=True)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

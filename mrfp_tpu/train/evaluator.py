@@ -127,14 +127,22 @@ class SegEvaluator:
 
     def run(self, dataset, max_images: Optional[int] = None,
             log=print, shard_rank: int = 0,
-            shard_count: int = 1) -> Dict[str, object]:
+            shard_count: int = 1, heartbeat=None) -> Dict[str, object]:
         """Evaluate ``dataset``; with ``shard_count`` > 1, this process scores
         only images ``i % shard_count == shard_rank`` and the partial
         histograms are summed across processes before the metric — the
         multi-host split of the reference's eval loop (main.py:876-913),
-        which every DDP rank would otherwise duplicate in full."""
+        which every DDP rank would otherwise duplicate in full.
+
+        ``heartbeat``: called every few images after a forced device sync
+        (a scalar fetch — block_until_ready does not sync on axon). Lets a
+        step watchdog distinguish a long mixed-shape validation (one ~5-min
+        tunnel compile per distinct shape) from a wedged device; without it
+        the watchdog would kill a healthy run mid-validation and a
+        supervisor would relaunch into the same validation forever."""
         hist = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
         dropped = 0
+        scored = 0
         n = len(dataset) if max_images is None else min(len(dataset), max_images)
         for i in range(shard_rank, n, max(1, shard_count)):
             sample = dataset[i]
@@ -158,6 +166,10 @@ class SegEvaluator:
                 hist = self._step_masked(
                     variables, hist, img[None], lbl[None],
                     jnp.asarray([vh, vw], jnp.int32))
+            scored += 1
+            if heartbeat is not None and scored % 4 == 0:
+                jax.device_get(hist)  # sync: dispatches so far really ran
+                heartbeat()
         hist_np = np.asarray(jax.device_get(hist)).astype(np.int64)
         hist_np = merge_shard_hists(hist_np, shard_count)
         result = evaluate_hist(hist_np, dataset_name=getattr(dataset, "name", "?"),
@@ -222,7 +234,7 @@ class SlidingEvaluator(SegEvaluator):
         return np.argmax(acc / np.maximum(cnt, 1), axis=-1).astype(np.int32)
 
     def run(self, dataset, max_images: Optional[int] = None,
-            log=print) -> Dict[str, object]:
+            log=print, heartbeat=None) -> Dict[str, object]:
         from mrfp_tpu.ops.hist import fast_hist
         hist = np.zeros((self.num_classes, self.num_classes), np.int64)
         dropped = 0
@@ -236,6 +248,8 @@ class SlidingEvaluator(SegEvaluator):
                 continue
             pred = self._predict_full(img)
             hist += fast_hist(pred, lbl, self.num_classes)
+            if heartbeat is not None:
+                heartbeat()  # _predict_full fetched logits: a real sync
         result = evaluate_hist(hist, dataset_name=getattr(dataset, "name", "?"),
                                id2cat=getattr(dataset, "id2cat", None), log=log)
         result["dropped"] = dropped

@@ -38,7 +38,16 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
     ``watchdog`` (utils/watchdog.StepWatchdog, already started): beaten at
     every sync point — the log_every loss fetch, each finished validation,
     and the final checkpoint barrier — and stopped on normal return, so a
-    wedged device execution exits 75 instead of hanging forever."""
+    wedged device execution exits 75 instead of hanging forever.
+
+    With a watchdog armed, the first steps after (re)launch sync eagerly
+    (steps 1, 2, 4, 8, ... since launch, until log_every takes over): the
+    first beat then lands right after compilation instead of log_every
+    steps later, so the watchdog leaves its generous first-beat window
+    (sized for the multi-minute tunnel compile) within one step and a
+    device that wedges AFTER compiling is detected in the steady-state
+    window — minutes, not the compile budget. Cost: a handful of ~30 ms
+    scalar fetches at launch."""
     from mrfp_tpu.data.loader import prefetch_to_device
     from mrfp_tpu.utils import AverageMeter
 
@@ -56,6 +65,7 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
 
     prev_handlers = [(s, signal.signal(s, _on_signal))
                      for s in (signal.SIGTERM, signal.SIGINT)]
+    steps_this_run, next_early_sync = 0, 1
     while step < cfg.train.max_iter and not preempted["flag"]:
         epoch = step // steps_per_epoch
         loader.set_epoch(epoch)
@@ -63,6 +73,16 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
             state, metrics = jtrain(state, batch["image"].astype(jnp.float32),
                                     batch["label"])
             step += 1
+            steps_this_run += 1
+            if watchdog is not None and steps_this_run == next_early_sync \
+                    and steps_this_run <= cfg.train.log_every \
+                    and step % cfg.train.log_every != 0:
+                # eager early-launch sync: prove device progress ASAP so the
+                # watchdog drops from its compile-sized first-beat window to
+                # the steady-state one (docstring)
+                next_early_sync *= 2
+                float(metrics["loss"])
+                watchdog.beat()
             if step % cfg.train.log_every == 0:
                 loss = float(metrics["loss"])  # sync point
                 if watchdog is not None:

@@ -56,13 +56,16 @@ def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
                               key_np0=keys["np_l0"], key_np1=keys["np_l1"],
                               oc_params=oc_params)
 
+    # BATCH_WEIGHTING (config.py:56; dead in the reference's live path):
+    # per-batch rare-class upweighting of the CE. A function of the labels
+    # only — no gradient flows through the weights. Computed from the FULL
+    # batch (not per microbatch) so accum_steps>1 trains the same objective
+    # the reference's single pass over the batch would.
+    cw = (batch_class_weights(labels, cfg.model.num_classes,
+                              cfg.data.ignore_index)
+          if cfg.data.batch_weighting else None)
+
     def forward_loss(params, batch_stats, imgs, lbls, ptb, dropout_key):
-        # BATCH_WEIGHTING (config.py:56; dead in the reference's live path):
-        # per-batch rare-class upweighting of the CE. A function of the
-        # labels only — no gradient flows through the weights.
-        cw = (batch_class_weights(lbls, cfg.model.num_classes,
-                                  cfg.data.ignore_index)
-              if cfg.data.batch_weighting else None)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             imgs, train=True, perturb=ptb, mutable=["batch_stats"],
@@ -216,8 +219,12 @@ def make_jitted_steps(model, cfg: Config, mesh: Optional[Mesh] = None):
 
         t = _with_fusion(t)
 
+    # the train jit (shardings, pallas-free multi-device trace, donation)
+    # is the same policy the zoo step uses — one implementation
+    jt = mesh_jit_train(t, mesh)
+
     if mesh is None:
-        return jax.jit(t, donate_argnums=0), jax.jit(e)
+        return jt, jax.jit(e)
 
     if mesh.size > 1:
         # GSPMD cannot partition pallas_call: route resizes through the
@@ -231,16 +238,13 @@ def make_jitted_steps(model, cfg: Config, mesh: Optional[Mesh] = None):
                     return f(*args, **kwargs)
             return g
 
-        t, e = _no_pallas(t), _no_pallas(e)
+        e = _no_pallas(e)
 
     from mrfp_tpu.core.mesh import batch_sharding
-    repl = NamedSharding(mesh, P())
     # batch over 'data'; image H additionally over 'spatial' when the mesh
     # has one (GSPMD conv halo exchange — core/mesh.py docstring)
     data4 = batch_sharding(mesh, 4)
     data3 = batch_sharding(mesh, 3)
     st = _state_sharding_constraint(mesh)
-    jt = jax.jit(t, in_shardings=(st, data4, data3),
-                 out_shardings=(st, repl), donate_argnums=0)
     je = jax.jit(e, in_shardings=(st, st, data4), out_shardings=data3)
     return jt, je

@@ -100,14 +100,22 @@ class MetricWriter:
             self._tb.close()
 
 
-def prep_experiment(cfg, root: str = "./runs") -> Dict[str, Any]:
-    """Create run dirs + logging + writer (misc.py:94-117)."""
+def prep_experiment(cfg, root: str = "./runs", rank: int = 0) -> Dict[str, Any]:
+    """Create run dirs + logging + writer (misc.py:94-117).
+
+    ``rank``: the process index in a multi-process run. Every rank gets its
+    own log file and JSONL stream (same-path appends from several processes
+    interleave), and only rank 0 writes the tfevents file — the tbevents
+    record framing cannot tolerate concurrent writers and the scalars are
+    identical on every rank anyway (all-gathered validation, synced loss)."""
     name = make_exp_name(cfg)
     exp_dir = os.path.join(root, name)
     ckpt_dir = os.path.join(exp_dir, "ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
-    save_log("log", exp_dir)
-    writer = MetricWriter(os.path.join(exp_dir, "metrics.jsonl"),
-                          tb_dir=os.path.join(exp_dir, "tb"))
+    save_log("log", exp_dir, rank=rank)
+    suffix = "" if rank == 0 else f"_rank{rank}"
+    writer = MetricWriter(
+        os.path.join(exp_dir, f"metrics{suffix}.jsonl"),
+        tb_dir=os.path.join(exp_dir, "tb") if rank == 0 else None)
     return {"name": name, "exp_dir": exp_dir, "ckpt_dir": ckpt_dir,
             "writer": writer}

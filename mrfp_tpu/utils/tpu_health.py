@@ -107,16 +107,21 @@ def wait_until_healthy(max_wait_s: float = 1800.0,
                        retry_sleep_s: float = 120.0) -> bool:
     """Bounded wait for (a) the advisory device lock to clear and (b) a
     probe execution to succeed. Returns True when healthy, False when the
-    budget ran out (caller proceeds anyway — a hang then is no worse than
-    not having probed). No-op on non-TPU platforms (forced-cpu tests).
+    PROBE budget ran out (caller proceeds anyway — a hang then is no worse
+    than not having probed). If the budget expires while another LIVE
+    process still holds the device lock, raises ``SystemExit(75)`` instead:
+    attaching a second axon client can wedge or kill the running job
+    (CLAUDE.md), which is strictly worse than this process failing
+    restartably. No-op on non-TPU platforms (forced-cpu tests).
     Set MRFP_TPU_PREFLIGHT=0 to skip entirely."""
     if os.environ.get("MRFP_TPU_PREFLIGHT", "1") == "0" or not tpu_platform():
         return True
     deadline = time.monotonic() + max_wait_s
     while os.path.exists(LOCK_FILE) and _lock_holder_alive():
         if time.monotonic() > deadline:
-            _log("device lock still held at budget end; proceeding")
-            return False
+            _log("device lock still held by a live process at budget end; "
+                 "refusing to attach a second client (exit 75)")
+            raise SystemExit(75)
         _log(f"device lock held by a live process ({LOCK_FILE}); waiting")
         time.sleep(min(retry_sleep_s, 30.0))
     while True:

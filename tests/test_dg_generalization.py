@@ -63,18 +63,24 @@ def _run(args, timeout=7200, platform="cpu"):
 def train_arm(src_tree, runs_dir, mode, steps, crop, lr="1e-2",
               platform="cpu", seed=0):
     """Train one arm on the source tree; returns its checkpoint dir."""
+    # TPU full-budget mode checkpoints every 25 steps: on 2026-08-19 the
+    # axon tunnel wedged every ~10-100 executed steps for hours, and any
+    # cadence coarser than the typical healthy window accrues ZERO progress
+    # across watchdog-restart cycles (each relaunch auto-resumes from the
+    # last checkpoint). Orbax saves are async (~4% overhead at this rate).
+    ckpt_every = 25 if platform is None else min(steps, 500)
     args = ["mrfp_tpu.cli.train", "--source", "gtav", "--data-root", src_tree,
             "--trunk", "resnet-18", "--variant", "D32", "--mode", mode,
             "--batch-size", "8", "--crop-size", str(crop),
             "--max-iter", str(steps), "--lr", lr, "--seed", str(seed),
             "--no-color-jitter", "--no-gaussian-blur",
             "--scale-range", "1.0", "1.0",
-            "--ckpt-every", str(min(steps, 500)),
+            "--ckpt-every", str(ckpt_every),
             "--log-every", "100", "--runs-dir", runs_dir]
     if platform is None:
-        # TPU full-budget mode: detect a wedged execute in minutes (exit 75)
-        # so a supervising retry loop can relaunch; auto-resume + the 500-
-        # step checkpoint cadence bound the lost work (utils/watchdog.py)
+        # detect a wedged execute in minutes (exit 75) so a supervising
+        # retry loop can relaunch; auto-resume + the checkpoint cadence
+        # bound the lost work (utils/watchdog.py)
         args += ["--step-timeout", "600"]
     _run(args, platform=platform)
     ckpts = glob.glob(os.path.join(runs_dir, "*", "ckpt"))
@@ -83,10 +89,15 @@ def train_arm(src_tree, runs_dir, mode, steps, crop, lr="1e-2",
 
 
 def eval_arm(ckpt, tree, json_path, platform="cpu"):
-    """Zero-shot eval of a checkpoint on a DG tree's test split."""
-    _run(["mrfp_tpu.cli.eval", "--ckpt", ckpt, "--trunk", "resnet-18",
-          "--variant", "D32", "--domains", "gtav", "--data-root", tree,
-          "--json-out", json_path], platform=platform)
+    """Zero-shot eval of a checkpoint on a DG tree's test split.
+
+    An existing ``json_path`` is reused: the full-budget driver is rerun
+    by a retry loop after every device wedge, and completed arms' evals
+    must not be re-paid (minutes of TPU time each) on every relaunch."""
+    if not os.path.exists(json_path):
+        _run(["mrfp_tpu.cli.eval", "--ckpt", ckpt, "--trunk", "resnet-18",
+              "--variant", "D32", "--domains", "gtav", "--data-root", tree,
+              "--json-out", json_path], platform=platform)
     return json.load(open(json_path))["gtav"]
 
 

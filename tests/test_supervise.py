@@ -83,3 +83,8 @@ def test_subprocess_round_trip(tmp_path):
         env=env, capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "relaunch 1/" in (proc.stdout + proc.stderr)
+
+
+def test_unlaunchable_command_is_clean_error():
+    assert supervise(["definitely-not-a-command-xyz"], backoff=0,
+                     health_wait=0) == 127

@@ -77,7 +77,11 @@ def test_acquire_release_cycle(tmp_path, monkeypatch):
     monkeypatch.setattr(tpu_health, "LOCK_FILE", str(lock))
     tpu_health.acquire_device_lock()
     assert lock.read_text() == str(os.getpid())
-    # a live holder makes wait_until_healthy block on the lock; with a zero
-    # budget it gives up and returns False (proceed-anyway semantics)
+    # a live holder makes wait_until_healthy block on the lock; at budget
+    # end it must REFUSE to proceed (a second client can kill the holder's
+    # job) — restartable exit 75, not proceed-anyway
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
-    assert tpu_health.wait_until_healthy(max_wait_s=-1.0) is False
+    import pytest
+    with pytest.raises(SystemExit) as e:
+        tpu_health.wait_until_healthy(max_wait_s=-1.0)
+    assert e.value.code == 75

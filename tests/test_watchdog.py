@@ -68,6 +68,64 @@ def test_default_action_hard_exits_75():
     assert p.returncode == StepWatchdog.EXIT_CODE, (p.returncode, p.stderr)
 
 
+def test_loop_beats_eagerly_after_launch():
+    """run_training_loop must sync (and beat) at steps 1,2,4,8,... since
+    launch when a watchdog is armed — NOT wait for the first log_every
+    boundary — so a device that wedges right after compile is detected in
+    the steady-state window instead of the compile-sized first-beat one."""
+    import jax.numpy as jnp
+
+    from mrfp_tpu.core.config import Config
+    from mrfp_tpu.train.loop import run_training_loop
+
+    class FakeState:
+        step = 0
+
+    class FakeLoader(list):
+        def set_epoch(self, e):
+            pass
+
+    class FakeCkpt:
+        def save(self, *a, **k):
+            pass
+
+        def wait(self):
+            pass
+
+    class FakeWriter:
+        def add_scalar(self, *a):
+            pass
+
+    class BeatCounter:
+        beats = 0
+
+        def beat(self):
+            self.beats += 1
+
+        def stop(self):
+            pass
+
+    import dataclasses
+
+    cfg = Config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, max_iter=10, checkpoint_every=1000,
+        log_every=100))  # log_every never reached: only eager syncs beat
+
+    def jtrain(state, images, labels):
+        return state, {"loss": jnp.float32(1.0)}
+
+    batch = {"image": jnp.zeros((1, 8, 8, 3)), "label": jnp.zeros((1, 8, 8),
+                                                                  jnp.int32)}
+    wd = BeatCounter()
+    _, step, preempted = run_training_loop(
+        FakeState(), FakeLoader([batch] * 4), jtrain, cfg, FakeCkpt(),
+        FakeWriter(), watchdog=wd)
+    assert step == 10 and not preempted
+    # eager syncs at steps 1,2,4,8 + the final-checkpoint beat
+    assert wd.beats == 5, wd.beats
+
+
 def test_from_arg_policy(monkeypatch):
     # forced-CPU (the test env): auto means off
     monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
