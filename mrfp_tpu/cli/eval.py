@@ -61,6 +61,11 @@ def parse_args():
                    help="shard each image's H over this many chips (GSPMD "
                         "conv halo exchange; batch-1 multi-chip serving). "
                         "1 = single-device eval (default)")
+    p.add_argument("--step-timeout", type=float, default=None,
+                   help="watchdog: exit 75 (restartable) when no image "
+                        "batch syncs within this window — a wedged device "
+                        "execution otherwise hangs the sweep forever. "
+                        "Default: 1800 s on TPU, off elsewhere; 0 disables")
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="compute dtype. float32 (default) is the reference "
@@ -160,6 +165,12 @@ def main():
     if args.domains == ["all"]:
         args.domains = ["bdd100k", "cityscapes", "synthia", "mapillary",
                         "gtav"]
+    # wedged-device detection, same policy as the trainers: the evaluator
+    # beats after every few synced images, so a sweep that stops making
+    # device progress exits 75 (restartable) instead of hanging forever
+    from mrfp_tpu.utils.watchdog import watchdog_from_arg
+    watchdog = watchdog_from_arg(args.step_timeout)
+
     results = {}
     for domain in args.domains:
         if args.synthetic:
@@ -169,10 +180,13 @@ def main():
             ds = DATASETS[domain](root=domain_root(args.data_root, domain),
                                   split=VAL_SPLITS[domain], train=False,
                                   eval_size=args.eval_size)
-        res = evaluator.run(ds, max_images=args.max_images)
+        res = evaluator.run(ds, max_images=args.max_images,
+                            heartbeat=watchdog.beat if watchdog else None)
         print(f"Number of images dropped: {res['dropped']}")
         results[domain] = {"mean_iu": res["mean_iu"], "acc": res["acc"],
                            "fwavacc": res["fwavacc"]}
+    if watchdog is not None:
+        watchdog.stop()
     print(json.dumps(results, indent=2))
     if args.json_out:
         with open(args.json_out, "w") as f:

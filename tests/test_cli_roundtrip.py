@@ -47,8 +47,11 @@ def test_convert_then_eval_matches_direct_pth_eval(tmp_path):
     assert os.path.isdir(out_dir)
 
     j1, j2 = str(tmp_path / "m_pth.json"), str(tmp_path / "m_orb.json")
+    # --step-timeout 9999 arms the eval watchdog off-TPU: covers the
+    # argparse surface + the heartbeat wiring (beats, then stops cleanly)
     eval_args = ["mrfp_tpu.cli.eval", "--synthetic", "--synthetic-hw", "64",
-                 "96", "--domains", "cityscapes", "--max-images", "2"]
+                 "96", "--domains", "cityscapes", "--max-images", "2",
+                 "--step-timeout", "9999"]
     _run(eval_args + ["--ckpt", pth, "--json-out", j1])
     _run(eval_args + ["--ckpt", out_dir, "--json-out", j2])
     m_pth = json.load(open(j1))
