@@ -104,8 +104,9 @@ def test_visualize_cli_writes_triplets(tmp_path):
 @pytest.mark.slow
 def test_train_cli_sigterm_saves_resumable_checkpoint(tmp_path):
     """Preemption safety: SIGTERM mid-run must finish the in-flight step,
-    save a resumable checkpoint (exit 0), and a rerun with the same args
-    must resume from it instead of step 0."""
+    save a resumable checkpoint, and exit 75 (EX_TEMPFAIL — an interrupted
+    run must not look like success to a restart policy); a rerun with the
+    same args must resume from it instead of step 0."""
     import signal
     import time as _time
 
@@ -143,7 +144,7 @@ def test_train_cli_sigterm_saves_resumable_checkpoint(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
-    assert proc.returncode == 0, out[-3000:]
+    assert proc.returncode == 75, (proc.returncode, out[-3000:])
     assert "preempted (resumable)" in out, out[-3000:]
 
     run_dir = os.path.dirname(metrics_path)
