@@ -94,6 +94,12 @@ def parse_args():
                         "no step syncs for this many seconds — failure "
                         "detection for wedged device execution. Default: "
                         "1800 on TPU, off elsewhere; 0 disables")
+    p.add_argument("--first-beat-timeout", type=float, default=None,
+                   help="window for the FIRST step sync (covers program "
+                        "compilation). Default: max(2x step-timeout, 3600). "
+                        "Supervised relaunches with a warm persistent "
+                        "compile cache can pass a tight one so pre-step "
+                        "wedges cost minutes, not the fresh-compile budget")
     p.add_argument("--runs-dir", default="./runs")
     # distributed / mesh (reference main.py:42-52 WORLD_SIZE bootstrap)
     p.add_argument("--coordinator-address", default=None,
@@ -257,7 +263,7 @@ def main():
         if args.eval_every else None
 
     from mrfp_tpu.utils.watchdog import watchdog_from_arg
-    watchdog = watchdog_from_arg(args.step_timeout)
+    watchdog = watchdog_from_arg(args.step_timeout, args.first_beat_timeout)
 
     def run_validation(state, step):
         ev = evaluator

@@ -88,6 +88,9 @@ def parse_args():
                    help="exit 75 (restartable) when no step syncs for this "
                         "many seconds; default 1800 on TPU, off elsewhere; "
                         "0 disables")
+    p.add_argument("--first-beat-timeout", type=float, default=None,
+                   help="window for the FIRST step sync (covers compile); "
+                        "default max(2x step-timeout, 3600). See cli.train")
     p.add_argument("--runs-dir", default="./runs")
     p.add_argument("--coordinator-address", default=None)
     p.add_argument("--num-processes", type=int, default=None)
@@ -262,7 +265,7 @@ def main():
         if args.eval_every else None
 
     from mrfp_tpu.utils.watchdog import watchdog_from_arg
-    watchdog = watchdog_from_arg(args.step_timeout)
+    watchdog = watchdog_from_arg(args.step_timeout, args.first_beat_timeout)
 
     def run_validation(state, step):
         ev = evaluator

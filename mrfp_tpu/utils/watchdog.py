@@ -96,20 +96,25 @@ class StepWatchdog:
                 os._exit(self.EXIT_CODE)
 
 
-def watchdog_from_arg(step_timeout: Optional[float]) -> \
+def watchdog_from_arg(step_timeout: Optional[float],
+                      first_beat_timeout: Optional[float] = None) -> \
         Optional[StepWatchdog]:
     """CLI policy: ``None`` means auto (1800 s steady-state on a TPU-ish
     platform, off elsewhere — forced-CPU test runs never want one);
     ``0`` disables; anything else is the steady-state window in seconds.
-    The first-beat window is the larger of 2x the steady window and 3600 s,
-    covering the multi-minute first compile through the axon tunnel.
-    Returns a STARTED watchdog or None."""
+    The first-beat window defaults to the larger of 2x the steady window
+    and 3600 s, covering the multi-minute first compile through the axon
+    tunnel; pass ``first_beat_timeout`` to override it — a supervised
+    relaunch whose program is already in the persistent compile cache can
+    afford a much tighter one (a pre-first-step wedge then costs minutes,
+    not the fresh-compile budget). Returns a STARTED watchdog or None."""
     from mrfp_tpu.utils.tpu_health import tpu_platform
 
     if step_timeout is None:
         step_timeout = 1800.0 if tpu_platform() else 0.0
     if not step_timeout or step_timeout <= 0:
         return None
+    if first_beat_timeout is None or first_beat_timeout <= 0:
+        first_beat_timeout = max(2 * step_timeout, 3600.0)
     return StepWatchdog(
-        step_timeout,
-        first_beat_timeout_s=max(2 * step_timeout, 3600.0)).start()
+        step_timeout, first_beat_timeout_s=first_beat_timeout).start()

@@ -80,8 +80,13 @@ def train_arm(src_tree, runs_dir, mode, steps, crop, lr="1e-2",
     if platform is None:
         # detect a wedged execute in minutes (exit 75) so a supervising
         # retry loop can relaunch; auto-resume + the checkpoint cadence
-        # bound the lost work (utils/watchdog.py)
-        args += ["--step-timeout", "600"]
+        # bound the lost work (utils/watchdog.py). The tight first-beat
+        # window is safe because the retry loop's first successful attempt
+        # leaves the compiled program in the persistent compile cache — a
+        # later relaunch that can't produce step 1 inside 1200 s is wedged,
+        # not compiling (the crop-256 fresh compile itself fits: ~7 min
+        # through the tunnel, CLAUDE.md 15:19-15:26 window).
+        args += ["--step-timeout", "600", "--first-beat-timeout", "1200"]
     _run(args, platform=platform)
     ckpts = glob.glob(os.path.join(runs_dir, "*", "ckpt"))
     assert len(ckpts) == 1, ckpts
