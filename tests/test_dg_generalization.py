@@ -87,7 +87,12 @@ def train_arm(src_tree, runs_dir, mode, steps, crop, lr="1e-2",
         # not compiling (the crop-256 fresh compile itself fits: ~7 min
         # through the tunnel, CLAUDE.md 15:19-15:26 window).
         args += ["--step-timeout", "600", "--first-beat-timeout", "1200"]
-    _run(args, platform=platform)
+    # a CPU full-budget arm is slow but UNBOUNDED-safe (no watchdog): size
+    # the subprocess timeout to the step budget (a 2000-step CPU arm at
+    # ~10 s/step plus a ~40-min XLA CPU compile blows the old flat 7200 s);
+    # TPU arms stay tightly bounded — the watchdog exits 75 long before.
+    timeout = 7200 if platform is None else max(7200, 30 * steps + 3600)
+    _run(args, platform=platform, timeout=timeout)
     ckpts = glob.glob(os.path.join(runs_dir, "*", "ckpt"))
     assert len(ckpts) == 1, ckpts
     return ckpts[0]
