@@ -100,6 +100,13 @@ def parse_args():
                         "Supervised relaunches with a warm persistent "
                         "compile cache can pass a tight one so pre-step "
                         "wedges cost minutes, not the fresh-compile budget")
+    p.add_argument("--snapshot-every", type=int, default=0,
+                   help="every N steps, fetch the train state to host and "
+                        "let the watchdog checkpoint it if the device "
+                        "wedges — auto-resume then loses at most N steps "
+                        "instead of a full --ckpt-every interval. Costs a "
+                        "state-sized device fetch per N steps. 0 = off; "
+                        "needs --step-timeout and a single-process run")
     p.add_argument("--runs-dir", default="./runs")
     # distributed / mesh (reference main.py:42-52 WORLD_SIZE bootstrap)
     p.add_argument("--coordinator-address", default=None,
@@ -288,7 +295,7 @@ def main():
     _, step, preempted = run_training_loop(
         state, loader, jtrain, cfg, ckpt, writer, mesh=mesh,
         eval_every=args.eval_every, run_validation=run_validation,
-        watchdog=watchdog)
+        watchdog=watchdog, snapshot_every=args.snapshot_every)
     if preempted and step < cfg.train.max_iter:
         # resumable-but-incomplete must NOT look like success: exit 75
         # (EX_TEMPFAIL) so cli.supervise / any restart policy relaunches

@@ -91,6 +91,9 @@ def parse_args():
     p.add_argument("--first-beat-timeout", type=float, default=None,
                    help="window for the FIRST step sync (covers compile); "
                         "default max(2x step-timeout, 3600). See cli.train")
+    p.add_argument("--snapshot-every", type=int, default=0,
+                   help="host-snapshot the state every N steps for the "
+                        "watchdog's emergency checkpoint; see cli.train")
     p.add_argument("--runs-dir", default="./runs")
     p.add_argument("--coordinator-address", default=None)
     p.add_argument("--num-processes", type=int, default=None)
@@ -284,7 +287,7 @@ def main():
     _, step, preempted = run_training_loop(
         state, loader, jtrain, cfg, ckpt, writer, mesh=mesh,
         eval_every=args.eval_every, run_validation=run_validation,
-        watchdog=watchdog)
+        watchdog=watchdog, snapshot_every=args.snapshot_every)
     if preempted and step < cfg.train.max_iter:
         # resumable-but-incomplete must NOT look like success (cli.train
         # has the same policy): 75 tells cli.supervise to relaunch

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
                       eval_every: int = 0, run_validation=None,
-                      watchdog=None):
+                      watchdog=None, snapshot_every: int = 0):
     """Drive ``jtrain(state, images, labels) -> (state, metrics)`` to
     ``cfg.train.max_iter``. Returns ``(state, step, preempted)``; the final
     checkpoint (resumable either way) is already saved on return.
@@ -47,7 +47,18 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
     (sized for the multi-minute tunnel compile) within one step and a
     device that wedges AFTER compiling is detected in the steady-state
     window — minutes, not the compile budget. Cost: a handful of ~30 ms
-    scalar fetches at launch."""
+    scalar fetches at launch.
+
+    ``snapshot_every`` (requires a watchdog; single-process runs only —
+    an emergency save in a multi-host job would hang on the Orbax
+    barrier): every N steps, at a sync point, the full train state is
+    fetched to HOST memory and registered as the watchdog's emergency
+    hook. When the watchdog fires, the watchdog thread persists that
+    snapshot through the normal checkpoint manager before exiting 75 —
+    auto-resume then continues from the last *synced* step instead of the
+    last scheduled checkpoint, so a device that wedges mid-window loses
+    at most ``snapshot_every`` steps of work. Cost per snapshot: one
+    state-sized device->host fetch (~100 MB-class for ResNet-18/50)."""
     from mrfp_tpu.data.loader import prefetch_to_device
     from mrfp_tpu.utils import AverageMeter
 
@@ -66,6 +77,29 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
     prev_handlers = [(s, signal.signal(s, _on_signal))
                      for s in (signal.SIGTERM, signal.SIGINT)]
     steps_this_run, next_early_sync = 0, 1
+    if snapshot_every and (watchdog is None or jax.process_count() > 1):
+        logging.warning("snapshot_every ignored (needs a watchdog and a "
+                        "single-process run)")
+        snapshot_every = 0
+    last_snapshot_step = step
+
+    def _snapshot_if_due(step, state):
+        nonlocal last_snapshot_step
+        if not snapshot_every or step - last_snapshot_step < snapshot_every:
+            return
+        # at a sync point the step's outputs are materialized on device;
+        # fetch them to host NOW — once the device wedges it is too late
+        snap = jax.device_get(state)
+        last_snapshot_step = step
+
+        def _emergency_save(snap=snap, step=step):
+            logging.critical("watchdog: persisting host snapshot of "
+                             "step %d before exit", step)
+            ckpt.wait()  # drain any in-flight async save first
+            ckpt.save(snap, is_coordinator=True)
+            ckpt.wait()
+
+        watchdog.set_emergency(_emergency_save)
     while step < cfg.train.max_iter and not preempted["flag"]:
         epoch = step // steps_per_epoch
         loader.set_epoch(epoch)
@@ -83,10 +117,12 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
                 next_early_sync *= 2
                 float(metrics["loss"])
                 watchdog.beat()
+                _snapshot_if_due(step, state)
             if step % cfg.train.log_every == 0:
                 loss = float(metrics["loss"])  # sync point
                 if watchdog is not None:
                     watchdog.beat()
+                _snapshot_if_due(step, state)
                 loss_meter.update(loss)
                 dt = (time.perf_counter() - t_last) / cfg.train.log_every
                 t_last = time.perf_counter()
@@ -108,6 +144,7 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
                 ckpt.save(state, metrics=metrics_for_ckpt,
                           is_coordinator=jax.process_index() == 0)
                 metrics_for_ckpt = None  # only fresh val scores rotate best
+                last_snapshot_step = step  # durable; snapshot is redundant
             if step >= cfg.train.max_iter or preempted["flag"]:
                 break
     for s, h in prev_handlers:

@@ -49,6 +49,7 @@ class StepWatchdog:
         self._lock = threading.Lock()
         self._last = time.monotonic()
         self._beats = 0
+        self._emergency: Optional[Callable[[], None]] = None
         self._stopped = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -66,6 +67,15 @@ class StepWatchdog:
 
     def stop(self) -> None:
         self._stopped.set()
+
+    def set_emergency(self, fn: Optional[Callable[[], None]]) -> None:
+        """Register a last-chance callback run from the watchdog thread
+        right before ``on_timeout``/exit — e.g. persisting a host-side
+        state snapshot the wedged device would otherwise take down with
+        it. Must not touch the device (the device is exactly what stopped
+        responding); exceptions are logged and never mask the exit."""
+        with self._lock:
+            self._emergency = fn
 
     # --- internals ---------------------------------------------------------
 
@@ -86,6 +96,14 @@ class StepWatchdog:
                     "wedged; exiting %d for a supervisor restart "
                     "(training auto-resumes from the last checkpoint)",
                     self._name, stale, window, beats, self.EXIT_CODE)
+                with self._lock:
+                    emergency = self._emergency
+                if emergency is not None:
+                    try:
+                        emergency()
+                        logging.critical("watchdog: emergency hook done")
+                    except Exception:
+                        logging.exception("watchdog: emergency hook failed")
                 if self._on_timeout is not None:
                     self._on_timeout()
                     return

@@ -86,7 +86,12 @@ def train_arm(src_tree, runs_dir, mode, steps, crop, lr="1e-2",
         # later relaunch that can't produce step 1 inside 1200 s is wedged,
         # not compiling (the crop-256 fresh compile itself fits: ~7 min
         # through the tunnel, CLAUDE.md 15:19-15:26 window).
-        args += ["--step-timeout", "600", "--first-beat-timeout", "1200"]
+        args += ["--step-timeout", "600", "--first-beat-timeout", "1200",
+                 # bank EVERY healthy window: sync every 10 steps, keep a
+                 # host snapshot every 5, and let the watchdog checkpoint
+                 # it on fire — a window that executes only 8-15 steps
+                 # (2026-08-19 wedge cadence) still makes net progress
+                 "--log-every", "10", "--snapshot-every", "5"]
     # a CPU full-budget arm is slow but UNBOUNDED-safe (no watchdog): size
     # the subprocess timeout to the step budget (a 2000-step CPU arm at
     # ~10 s/step plus a ~40-min XLA CPU compile blows the old flat 7200 s);

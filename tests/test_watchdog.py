@@ -126,6 +126,120 @@ def test_loop_beats_eagerly_after_launch():
     assert wd.beats == 5, wd.beats
 
 
+def test_emergency_hook_runs_before_on_timeout():
+    order = []
+    wd, fired = _make(0.2)
+    wd.set_emergency(lambda: order.append("emergency"))
+    base = fired.set
+    wd._on_timeout = lambda: (order.append("timeout"), base())
+    wd.start()
+    assert fired.wait(5.0)
+    assert order == ["emergency", "timeout"]
+    wd.stop()
+
+
+def test_emergency_hook_failure_does_not_mask_exit():
+    wd, fired = _make(0.2)
+    wd.set_emergency(lambda: 1 / 0)
+    wd.start()
+    assert fired.wait(5.0), "on_timeout never ran after a failing hook"
+    wd.stop()
+
+
+_WEDGE_SCRIPT = """
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mrfp_tpu.core.config import Config
+from mrfp_tpu.train.checkpoint import CheckpointManager
+from mrfp_tpu.train.loop import run_training_loop
+from mrfp_tpu.train.state import TrainState
+from mrfp_tpu.utils.watchdog import StepWatchdog
+
+state = TrainState(step=jnp.zeros((), jnp.int32),
+                   params={"w": jnp.arange(4.0)},
+                   batch_stats={"m": jnp.zeros(2)}, oc_params=None,
+                   opt_state={"t": jnp.zeros(3)},
+                   base_key=jax.random.PRNGKey(0))
+cfg = Config()
+cfg = cfg.replace(train=dataclasses.replace(
+    cfg.train, max_iter=50, log_every=1, checkpoint_every=1000))
+ckpt = CheckpointManager(sys.argv[1])
+
+
+class Loader(list):
+    def set_epoch(self, e):
+        pass
+
+
+batch = {"image": jnp.zeros((1, 4, 4, 3)),
+         "label": jnp.zeros((1, 4, 4), jnp.int32)}
+
+
+def jtrain(state, images, labels):
+    s = int(state.step) + 1
+    if s >= 7:
+        time.sleep(3600)  # wedged-device stand-in: blocks forever
+    return (state.replace(step=jnp.full((), s, jnp.int32),
+                          params={"w": state.params["w"] + 1}),
+            {"loss": jnp.float32(s)})
+
+
+wd = StepWatchdog(1.0, first_beat_timeout_s=10.0, poll_s=0.1).start()
+
+
+class W:
+    def add_scalar(self, *a):
+        pass
+
+
+run_training_loop(state, Loader([batch] * 4), jtrain, cfg, ckpt, W(),
+                  watchdog=wd, snapshot_every=2)
+"""
+
+
+def test_wedged_step_exits_75_with_emergency_snapshot(tmp_path):
+    """The gold path: steps 1-6 sync, step 7 wedges forever. The watchdog
+    must take the process down with 75 AND persist the step-6 host snapshot
+    through the checkpoint manager — auto-resume then loses one step, not
+    the whole un-checkpointed run (checkpoint_every=1000 here)."""
+    import os
+    import subprocess
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    d = str(tmp_path / "ckpt")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    p = subprocess.run([sys.executable, "-c", _WEDGE_SCRIPT, d], env=env,
+                       timeout=180, capture_output=True, text=True)
+    assert p.returncode == StepWatchdog.EXIT_CODE, (p.returncode, p.stderr)
+    assert "persisting host snapshot of step 6" in p.stderr, p.stderr[-2000:]
+
+    from mrfp_tpu.train.checkpoint import CheckpointManager
+    from mrfp_tpu.train.state import TrainState
+    mgr = CheckpointManager(d)
+    assert mgr.latest_step() == 6
+    template = TrainState(step=jnp.zeros((), jnp.int32),
+                          params={"w": jnp.zeros(4)},
+                          batch_stats={"m": jnp.zeros(2)}, oc_params=None,
+                          opt_state={"t": jnp.zeros(3)},
+                          base_key=jax.random.PRNGKey(0))
+    restored = mgr.restore(template)
+    assert int(restored.step) == 6
+    assert jax.numpy.allclose(restored.params["w"],
+                              jnp.arange(4.0) + 6)
+
+
 def test_from_arg_policy(monkeypatch):
     # forced-CPU (the test env): auto means off
     monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
