@@ -139,8 +139,10 @@ def load_model_and_params(args):
 def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO)
-    from mrfp_tpu.utils import enable_persistent_compile_cache
+    from mrfp_tpu.utils import (enable_persistent_compile_cache,
+                                enable_stack_dumps)
     enable_persistent_compile_cache()
+    enable_stack_dumps()  # kill -USR1 <pid> -> all-thread Python stacks
     # axon preflight (no-op off-TPU): see utils/tpu_health.py
     from mrfp_tpu.utils.tpu_health import (acquire_device_lock, tpu_platform,
                                            wait_until_healthy)

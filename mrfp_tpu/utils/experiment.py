@@ -14,6 +14,7 @@ import datetime
 import json
 import logging
 import os
+import signal
 from typing import Any, Dict
 
 
@@ -56,6 +57,23 @@ def make_exp_name(cfg) -> str:
         bits.append(f"mrfp{'p' if m.hrfp_plus else ''}")
     bits += [f"bs{cfg.data.batch_size}", f"lr{t.lr:g}", f"it{t.max_iter}"]
     return "_".join(bits)
+
+
+def enable_stack_dumps() -> None:
+    """SIGUSR1 -> dump every thread's Python stack to stderr (faulthandler).
+
+    Production debuggability for the failure modes that matter here: a
+    wedged device call, a stuck data pipeline, a deadlocked pool — all
+    present as 'process sleeping, zero progress', and `kill -USR1 <pid>`
+    answers *where* without attaching a debugger or restarting. No-op on
+    platforms without SIGUSR1."""
+    import faulthandler
+    try:
+        # chain=False: SIGUSR1's default disposition is terminate — the
+        # whole point is to inspect a LIVE process
+        faulthandler.register(signal.SIGUSR1, all_threads=True, chain=False)
+    except (AttributeError, ValueError):  # no SIGUSR1 / non-main thread
+        pass
 
 
 def save_log(prefix: str, output_dir: str, rank: int = 0) -> None:
@@ -113,6 +131,7 @@ def prep_experiment(cfg, root: str = "./runs", rank: int = 0) -> Dict[str, Any]:
     ckpt_dir = os.path.join(exp_dir, "ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
     save_log("log", exp_dir, rank=rank)
+    enable_stack_dumps()  # kill -USR1 <pid> -> all-thread Python stacks
     suffix = "" if rank == 0 else f"_rank{rank}"
     writer = MetricWriter(
         os.path.join(exp_dir, f"metrics{suffix}.jsonl"),

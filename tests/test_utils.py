@@ -60,3 +60,31 @@ def test_metrics_api_surface():
     assert 0.0 <= miou <= 1.0
     # perfect prediction -> mIoU 1
     assert mean_iou_eval(gt, gt) == 1.0
+
+
+def test_enable_stack_dumps_sigusr1(tmp_path):
+    """kill -USR1 must dump all thread stacks to stderr without killing or
+    otherwise disturbing the process (production hang diagnosis)."""
+    import os
+    import subprocess
+    import sys
+
+    src = (
+        "import os, signal, threading, time\n"
+        "from mrfp_tpu.utils import enable_stack_dumps\n"
+        "enable_stack_dumps()\n"
+        "t = threading.Thread(target=time.sleep, args=(60,), daemon=True,\n"
+        "                     name='sleeper')\n"
+        "t.start()\n"
+        "os.kill(os.getpid(), signal.SIGUSR1)\n"
+        "time.sleep(0.5)\n"
+        "print('still-alive')\n"
+    )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    p = subprocess.run([sys.executable, "-c", src], env=env, timeout=120,
+                       capture_output=True, text=True)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "still-alive" in p.stdout
+    assert "Current thread" in p.stderr and "Thread" in p.stderr
