@@ -125,14 +125,25 @@ class DataLoader:
             return {"image": imgs, "label": lbls}
 
         def worker():
+            # INVARIANT: a worker holds a SLOT before it takes a TASK.
+            # The reverse order deadlocks (observed live 2026-08-19, via
+            # the SIGUSR1 stack dump): the worker holding the next batch
+            # the consumer needs can lose every slot race to workers
+            # holding LATER batches — semaphores are not fair — and once
+            # `results` holds `bound` batches none of which is the needed
+            # one, the consumer never pops, no slot is ever released, and
+            # every thread waits forever. Slot-first makes that state
+            # unreachable: any taken task owns a slot, so it completes
+            # and the in-order consumer always makes progress.
             while not stop.is_set():
-                try:
-                    bi, b = task_q.get_nowait()
-                except queue.Empty:
-                    return
                 while not slots.acquire(timeout=0.05):
                     if stop.is_set():
                         return
+                try:
+                    bi, b = task_q.get_nowait()
+                except queue.Empty:
+                    slots.release()
+                    return
                 try:
                     batch = collate([self.dataset[int(i)] for i in b])
                 except Exception as exc:  # surface worker errors to consumer
