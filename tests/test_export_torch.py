@@ -120,6 +120,35 @@ def test_native_weights_match_oracle_eval_forward(tmp_path):
     jax.tree_util.tree_map(np.testing.assert_array_equal, stats, stats2)
 
 
+@pytest.mark.slow
+def test_zoo_export_strict_keys_and_bit_exact():
+    """RobustNet-zoo checkpoints (DeepR50V3PlusD, ISW wt_layer) round-trip
+    through import -> export with the upstream model's exact key set."""
+    from ref_fixture import make_zoo_state_dict, reference_available
+    if not reference_available():
+        pytest.skip("upstream reference checkout not present")
+    from mrfp_tpu.models.deepv3_zoo import DeepV3Plus
+
+    # wt all-zero: the vendored upstream hard-overrides wt_layer to [0]*7
+    # (network/deepv3.py:119, see ref_fixture.make_zoo_state_dict), so its
+    # real checkpoints never contain whitening layers
+    sd = make_zoo_state_dict("DeepR50V3PlusD", wt_layer=(0,) * 7)
+    model = DeepV3Plus(trunk="resnet-50", variant="D16",
+                       wt_layer=(0,) * 7, use_dsn=True)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    params, stats, oc, report = convert_state_dict(sd, variables)
+    assert report["skipped"] == [], report["skipped"][:10]
+    assert oc is None
+
+    out = export_state_dict(params, stats, None, module_prefix=False)
+    assert set(out) == set(sd)
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(out[k], v.numpy(), err_msg=k)
+
+
 def _cli_env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
