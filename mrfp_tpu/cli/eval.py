@@ -57,6 +57,13 @@ def parse_args():
                         "compiles for mixed-shape domains; logits deviate "
                         "near padded borders). Default: exact shapes, the "
                         "reference protocol")
+    p.add_argument("--eval-batch", type=int, default=1,
+                   help="group N same-shape images per forward (exact: "
+                        "eval-mode BN has no cross-image coupling and the "
+                        "final partial group is padded with all-ignore "
+                        "dummies, so one compile per shape and bit-identical "
+                        "mIoU). Wins on single-shape domains; exact-shape "
+                        "protocol only (ignored with --bucket)")
     p.add_argument("--spatial-parallel", type=int, default=1,
                    help="shard each image's H over this many chips (GSPMD "
                         "conv halo exchange; batch-1 multi-chip serving). "
@@ -163,7 +170,8 @@ def main():
                                       spatial_parallel=args.spatial_parallel))
     evaluator = SegEvaluator(model, params, stats,
                              strict_pairs=args.strict_pairs,
-                             bucket=args.bucket, mesh=mesh)
+                             bucket=args.bucket, mesh=mesh,
+                             eval_batch=args.eval_batch)
     if args.domains == ["all"]:
         args.domains = ["bdd100k", "cityscapes", "synthia", "mapillary",
                         "gtav"]

@@ -69,13 +69,23 @@ class SegEvaluator:
 
     def __init__(self, model, params, batch_stats, num_classes: int = 19,
                  bucket: Optional[int] = None, strict_pairs: bool = True,
-                 mesh=None):
+                 mesh=None, eval_batch: int = 1):
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
         self.num_classes = num_classes
         self.bucket = bucket
         self.strict_pairs = strict_pairs
+        # eval_batch > 1: group same-shape images into one forward. EXACT —
+        # eval-mode BN reads running stats (no cross-image coupling), so the
+        # per-image logits are identical to batch-1; the histogram sum is
+        # integer and order-free. The final partial group of each shape is
+        # padded with all-ignore dummies (label=255 never touches the hist),
+        # keeping ONE compiled program per distinct shape. Amortizes the
+        # ~1-2 ms per-dispatch tunnel cost on single-shape domains
+        # (Mapillary always 1536^2, Cityscapes/BDD single-native-shape).
+        # Exact-shape protocol only: bucket mode needs per-image valid_hw.
+        self.eval_batch = max(1, int(eval_batch))
         # multi-chip eval: one full-res image sharded over the mesh 'spatial'
         # axis (batch-1 serving; GSPMD conv halos). Pure-DP meshes add
         # nothing at batch 1, so only a >1-device mesh changes the path.
@@ -143,7 +153,35 @@ class SegEvaluator:
         hist = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
         dropped = 0
         scored = 0
+        synced_at = 0
         n = len(dataset) if max_images is None else min(len(dataset), max_images)
+        variables = {"params": self.params, "batch_stats": self.batch_stats}
+        # batching applies to the exact-shape protocol only (the masked
+        # bucket forward takes one valid_hw for the whole batch)
+        eb = self.eval_batch if self.bucket is None else 1
+        pending: Dict[tuple, list] = {}
+
+        def _sync_heartbeat():
+            nonlocal synced_at
+            if heartbeat is not None and scored - synced_at >= 4:
+                jax.device_get(hist)  # sync: dispatches so far really ran
+                heartbeat()
+                synced_at = scored
+
+        def _flush(items):
+            nonlocal hist, scored
+            real = len(items)
+            if real < eb:
+                # pad the final partial group to the compiled batch size with
+                # all-ignore dummies (one program per shape, exact hist)
+                pad = (np.zeros_like(items[0][0]), np.full_like(items[0][1], 255))
+                items = items + [pad] * (eb - real)
+            hist = self._step(variables, hist,
+                              np.stack([im for im, _ in items]),
+                              np.stack([lb for _, lb in items]))
+            scored += real
+            _sync_heartbeat()
+
         for i in range(shard_rank, n, max(1, shard_count)):
             sample = dataset[i]
             img = np.asarray(sample["image"], np.float32)
@@ -155,21 +193,25 @@ class SegEvaluator:
                 h = min(img.shape[0], lbl.shape[0])
                 w = min(img.shape[1], lbl.shape[1])
                 img, lbl = img[:h, :w], lbl[:h, :w]
-            variables = {"params": self.params,
-                         "batch_stats": self.batch_stats}
-            if self.bucket is None:
+            if self.bucket is None and eb > 1:
+                pending.setdefault(lbl.shape, []).append((img, lbl))
+                if len(pending[lbl.shape]) == eb:
+                    _flush(pending.pop(lbl.shape))
+            elif self.bucket is None:
                 # exact-shape protocol (reference main.py:896)
                 hist = self._step(variables, hist, img[None], lbl[None])
+                scored += 1
+                _sync_heartbeat()
             else:
                 vh, vw = lbl.shape
                 img, lbl = pad_to_bucket(img, lbl, self.bucket)
                 hist = self._step_masked(
                     variables, hist, img[None], lbl[None],
                     jnp.asarray([vh, vw], jnp.int32))
-            scored += 1
-            if heartbeat is not None and scored % 4 == 0:
-                jax.device_get(hist)  # sync: dispatches so far really ran
-                heartbeat()
+                scored += 1
+                _sync_heartbeat()
+        for items in pending.values():
+            _flush(items)
         hist_np = np.asarray(jax.device_get(hist)).astype(np.int64)
         hist_np = merge_shard_hists(hist_np, shard_count)
         result = evaluate_hist(hist_np, dataset_name=getattr(dataset, "name", "?"),

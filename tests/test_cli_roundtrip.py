@@ -53,7 +53,11 @@ def test_convert_then_eval_matches_direct_pth_eval(tmp_path):
                  "96", "--domains", "cityscapes", "--max-images", "2",
                  "--step-timeout", "9999"]
     _run(eval_args + ["--ckpt", pth, "--json-out", j1])
-    _run(eval_args + ["--ckpt", out_dir, "--json-out", j2])
+    # second pass batched (--eval-batch 2): same metrics — batching the
+    # exact-shape sweep is bit-identical (evaluator test proves the hist;
+    # this covers the CLI flag surface end-to-end)
+    _run(eval_args + ["--ckpt", out_dir, "--json-out", j2,
+                      "--eval-batch", "2"])
     m_pth = json.load(open(j1))
     m_orb = json.load(open(j2))
     assert m_pth["cityscapes"] == m_orb["cityscapes"], (m_pth, m_orb)

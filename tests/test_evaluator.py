@@ -159,6 +159,34 @@ def test_sharded_run_partials_sum_to_full():
     np.testing.assert_array_equal(sum(parts), full["hist"])
 
 
+def test_batched_eval_bitwise_equals_batch1():
+    """eval_batch groups same-shape images per forward; eval-mode BN reads
+    running stats so batched logits are per-image identical, and the padded
+    final partial group contributes nothing (label 255). The histogram —
+    hence mIoU — must equal the batch-1 sweep EXACTLY, including with mixed
+    shapes (two shape groups, neither count divisible by the batch)."""
+    model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    ds = _MixedShapeColorTask(
+        [(40, 52), (64, 48), (40, 52), (40, 52), (64, 48)])
+    quiet = lambda *a, **k: None
+    args = (model, variables["params"], variables.get("batch_stats", {}))
+    base = SegEvaluator(*args).run(ds, log=quiet)
+    batched = SegEvaluator(*args, eval_batch=3).run(ds, log=quiet)
+    np.testing.assert_array_equal(batched["hist"], base["hist"])
+    assert batched["mean_iu"] == base["mean_iu"]
+    # heartbeat path syncs on the batched sweep too
+    beats = []
+    SegEvaluator(*args, eval_batch=2).run(ds, log=quiet,
+                                          heartbeat=lambda: beats.append(1))
+    assert beats
+    # bucket mode ignores eval_batch (masked forward is per-image)
+    bucketed = SegEvaluator(*args, bucket=64, eval_batch=3).run(ds, log=quiet)
+    ref_bucket = SegEvaluator(*args, bucket=64).run(ds, log=quiet)
+    np.testing.assert_array_equal(bucketed["hist"], ref_bucket["hist"])
+
+
 class _MixedShapeColorTask:
     """Mixed-shape color->class blocks (Mapillary-like variable sizes)."""
 
