@@ -58,12 +58,15 @@ def parse_args():
                         "near padded borders). Default: exact shapes, the "
                         "reference protocol")
     p.add_argument("--eval-batch", type=int, default=1,
-                   help="group N same-shape images per forward (exact: "
-                        "eval-mode BN has no cross-image coupling and the "
-                        "final partial group is padded with all-ignore "
-                        "dummies, so one compile per shape and bit-identical "
-                        "mIoU). Wins on single-shape domains; exact-shape "
-                        "protocol only (ignored with --bucket)")
+                   help="group N same-shape images per forward (exact by "
+                        "construction: eval-mode BN has no cross-image "
+                        "coupling and the final partial group is padded "
+                        "with all-ignore dummies, so one compile per "
+                        "shape; bit-identical on CPU fp32 — on TPU bf16 "
+                        "near-tie argmaxes may differ between batch sizes, "
+                        "use 1 for parity numbers). Wins on single-shape "
+                        "domains; exact-shape protocol only (ignored with "
+                        "--bucket)")
     p.add_argument("--spatial-parallel", type=int, default=1,
                    help="shard each image's H over this many chips (GSPMD "
                         "conv halo exchange; batch-1 multi-chip serving). "

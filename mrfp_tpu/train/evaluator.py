@@ -160,6 +160,8 @@ class SegEvaluator:
         # bucket forward takes one valid_hw for the whole batch)
         eb = self.eval_batch if self.bucket is None else 1
         pending: Dict[tuple, list] = {}
+        pad_total = 0  # dummy slots spent padding partial groups
+        shapes_seen = set()
 
         def _sync_heartbeat():
             nonlocal synced_at
@@ -169,8 +171,9 @@ class SegEvaluator:
                 synced_at = scored
 
         def _flush(items):
-            nonlocal hist, scored
+            nonlocal hist, scored, pad_total
             real = len(items)
+            pad_total += eb - real
             if real < eb:
                 # pad the final partial group to the compiled batch size with
                 # all-ignore dummies (one program per shape, exact hist)
@@ -194,6 +197,7 @@ class SegEvaluator:
                 w = min(img.shape[1], lbl.shape[1])
                 img, lbl = img[:h, :w], lbl[:h, :w]
             if self.bucket is None and eb > 1:
+                shapes_seen.add(lbl.shape)
                 pending.setdefault(lbl.shape, []).append((img, lbl))
                 if len(pending[lbl.shape]) == eb:
                     _flush(pending.pop(lbl.shape))
@@ -210,8 +214,18 @@ class SegEvaluator:
                     jnp.asarray([vh, vw], jnp.int32))
                 scored += 1
                 _sync_heartbeat()
+        n_shapes = len(shapes_seen)
         for items in pending.values():
             _flush(items)
+        if eb > 1 and (n_shapes > 3 or pad_total * 2 > max(scored, 1)):
+            # mixed-shape domain (GTAV is the one such val domain): every
+            # distinct shape compiles its own batch-eb program AND pads its
+            # final partial group, so batching can be a net loss here
+            logging.getLogger(__name__).warning(
+                "eval_batch=%d on a mixed-shape domain: %d distinct shapes, "
+                "%d padded dummy forwards for %d real images — consider "
+                "eval_batch=1 or bucket mode for this domain", eb, n_shapes,
+                pad_total, scored)
         hist_np = np.asarray(jax.device_get(hist)).astype(np.int64)
         hist_np = merge_shard_hists(hist_np, shard_count)
         result = evaluate_hist(hist_np, dataset_name=getattr(dataset, "name", "?"),

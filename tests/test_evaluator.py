@@ -187,6 +187,29 @@ def test_batched_eval_bitwise_equals_batch1():
     np.testing.assert_array_equal(bucketed["hist"], ref_bucket["hist"])
 
 
+def test_batched_eval_warns_on_mixed_shape_waste(caplog):
+    """A mixed-shape sweep whose partial-group padding wastes more forwards
+    than it saves logs a pointer to eval_batch=1/bucket mode (GTAV is the
+    one mixed-native-shape val domain); a single-shape sweep stays quiet."""
+    import logging as _logging
+    model = MRFP(trunk="resnet-18", variant="D32", wt_layer=(0,) * 7)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    quiet = lambda *a, **k: None
+    args = (model, variables["params"], variables.get("batch_stats", {}))
+    # 2 shapes x 1 image each at eval_batch=4: 6 of 8 forwards are padding
+    ds = _MixedShapeColorTask([(40, 52), (64, 48)])
+    with caplog.at_level(_logging.WARNING, "mrfp_tpu.train.evaluator"):
+        SegEvaluator(*args, eval_batch=4).run(ds, log=quiet)
+    assert any("mixed-shape" in r.message for r in caplog.records)
+    # one shape, batch divides the count: no warning
+    caplog.clear()
+    ds1 = _MixedShapeColorTask([(40, 52), (40, 52)])
+    with caplog.at_level(_logging.WARNING, "mrfp_tpu.train.evaluator"):
+        SegEvaluator(*args, eval_batch=2).run(ds1, log=quiet)
+    assert not [r for r in caplog.records if "mixed-shape" in r.message]
+
+
 class _MixedShapeColorTask:
     """Mixed-shape color->class blocks (Mapillary-like variable sizes)."""
 

@@ -106,6 +106,31 @@ def test_meshed_evaluator_hist_matches_single_device():
     assert got["mean_iu"] == ref["mean_iu"]
 
 
+def test_meshed_evaluator_composes_with_eval_batch():
+    """mesh + eval_batch > 1: the batch axis stays replicated while H is
+    sharded over 'spatial', and GSPMD must still produce the exact histogram
+    (3 images through batch-2 groups exercises the padded partial group)."""
+    from mrfp_tpu.data.datasets import SyntheticDataset
+    from mrfp_tpu.train.evaluator import SegEvaluator
+
+    model = MRFP(trunk="resnet-18", variant="D32")
+    x = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    variables = jax.jit(
+        lambda k, x: model.init({"params": k}, x, train=False)
+    )(jax.random.PRNGKey(0), x)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    val = SyntheticDataset(length=3, hw=(HW, HW), seed=13)
+    quiet = lambda *a, **k: None
+
+    ref = SegEvaluator(model, params, stats).run(val, log=quiet)
+    mesh = create_mesh(MeshConfig(data_parallel=1, spatial_parallel=4),
+                       jax.devices()[:4])
+    got = SegEvaluator(model, params, stats, mesh=mesh,
+                       eval_batch=2).run(val, log=quiet)
+    assert np.array_equal(got["hist"], ref["hist"])
+    assert got["mean_iu"] == ref["mean_iu"]
+
+
 @pytest.mark.parametrize("dp,sp", [(2, 2)])
 def test_zoo_step_loss_invariant_under_mesh(dp, sp):
     """The RobustNet-zoo objective (CE + DSN aux + ISW whitening loss) under
