@@ -24,11 +24,22 @@ def _proc_init(dataset):
     _WORKER_DATASET = dataset
 
 
+def collate(samples):
+    """Stack a batch, preserving the uint8 wire format (ToArray): integer
+    batches cross host->device as-is and the jitted step casts on device —
+    bit-identical to a float32 wire at 4x fewer transferred bytes."""
+    imgs = np.stack([s["image"] for s in samples])
+    if imgs.dtype != np.uint8:
+        imgs = imgs.astype(np.float32)
+    lbls = np.stack([s["label"] for s in samples])
+    if lbls.dtype != np.uint8:
+        lbls = lbls.astype(np.int32)
+    return {"image": imgs, "label": lbls}
+
+
 def _proc_load(idxs):
-    import numpy as _np
     samples = [_WORKER_DATASET[int(i)] for i in idxs]
-    return {"image": _np.stack([s["image"] for s in samples]).astype(_np.float32),
-            "label": _np.stack([s["label"] for s in samples]).astype(_np.int32)}
+    return collate(samples)
 
 
 class DataLoader:
@@ -118,11 +129,6 @@ class DataLoader:
 
         for bi, b in enumerate(batches):
             task_q.put((bi, b))
-
-        def collate(samples):
-            imgs = np.stack([s["image"] for s in samples]).astype(np.float32)
-            lbls = np.stack([s["label"] for s in samples]).astype(np.int32)
-            return {"image": imgs, "label": lbls}
 
         def worker():
             # INVARIANT: a worker holds a SLOT before it takes a TASK.

@@ -31,13 +31,28 @@ class Compose:
 
 
 class ToArray:
-    """Terminal transform: PIL -> numpy (image HWC float32, label HW float32)."""
+    """Terminal transform: PIL -> numpy (image HWC, label HW).
+
+    Integer sources stay integral ON THE WIRE — uint8 image, uint8/int32
+    label — and the jitted steps cast on DEVICE (train/step.py,
+    train/evaluator.py). uint8 -> float32 is exact, so results are
+    bit-identical to a float32 wire while host->device transfers ship 4x
+    fewer bytes (every active pipeline ends on PIL uint8; the reference's
+    ToTensor keeps the same raw 0..255 scale, dataloaders.py:118-136).
+    Float sources (e.g. after the inactive Normalize) keep the float32
+    contract."""
 
     def __call__(self, sample):
-        img = np.asarray(sample["image"], dtype=np.float32)
+        img = np.asarray(sample["image"])
+        if img.dtype != np.uint8:
+            img = img.astype(np.float32)
         if img.ndim == 2:
             img = img[..., None]
-        mask = np.asarray(sample["label"], dtype=np.float32)
+        mask = np.asarray(sample["label"])
+        if mask.dtype != np.uint8:
+            mask = (mask.astype(np.int32)
+                    if np.issubdtype(mask.dtype, np.integer)
+                    else mask.astype(np.float32))
         return {"image": img, "label": mask}
 
 

@@ -125,15 +125,17 @@ class SegEvaluator:
         return confusion_matrix_update(hist, pred, label, self.num_classes)
 
     def _hist_step(self, variables, hist, image, label):
-        out = self.model.apply(variables, image, train=False, mutable=False)
+        # uint8 wire format: cast on device (see train/step.py)
+        out = self.model.apply(variables, image.astype(jnp.float32),
+                               train=False, mutable=False)
         pred = jnp.argmax(out["logits"], axis=-1)
-        return self._hist_update(hist, pred, label)
+        return self._hist_update(hist, pred, label.astype(jnp.int32))
 
     def _hist_step_masked(self, variables, hist, image, label, valid_hw):
-        out = self.model.apply(variables, image, train=False, mutable=False,
-                               valid_hw=valid_hw)
+        out = self.model.apply(variables, image.astype(jnp.float32),
+                               train=False, mutable=False, valid_hw=valid_hw)
         pred = jnp.argmax(out["logits"], axis=-1)
-        return self._hist_update(hist, pred, label)
+        return self._hist_update(hist, pred, label.astype(jnp.int32))
 
     def run(self, dataset, max_images: Optional[int] = None,
             log=print, shard_rank: int = 0,
@@ -187,8 +189,14 @@ class SegEvaluator:
 
         for i in range(shard_rank, n, max(1, shard_count)):
             sample = dataset[i]
-            img = np.asarray(sample["image"], np.float32)
-            lbl = np.asarray(sample["label"], np.int32)
+            # uint8 wire format (ToArray): integer samples ship as-is —
+            # 4x fewer host->device bytes — and the jitted step casts
+            img = np.asarray(sample["image"])
+            if img.dtype != np.uint8:
+                img = img.astype(np.float32)
+            lbl = np.asarray(sample["label"])
+            if lbl.dtype != np.uint8:
+                lbl = lbl.astype(np.int32)
             if img.shape[:2] != lbl.shape:
                 if self.strict_pairs:
                     dropped += 1  # reference: count + skip (main.py:910-911)

@@ -25,7 +25,6 @@ import signal
 import time
 
 import jax
-import jax.numpy as jnp
 
 
 def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
@@ -104,8 +103,10 @@ def run_training_loop(state, loader, jtrain, cfg, ckpt, writer, mesh=None,
         epoch = step // steps_per_epoch
         loader.set_epoch(epoch)
         for batch in prefetch_to_device(iter(loader), mesh):
-            state, metrics = jtrain(state, batch["image"].astype(jnp.float32),
-                                    batch["label"])
+            # batches cross host->device in the loader's wire dtype (uint8
+            # for every active pipeline — 4x fewer tunnel/PCIe bytes); the
+            # jitted step casts on device, bit-exactly
+            state, metrics = jtrain(state, batch["image"], batch["label"])
             step += 1
             steps_this_run += 1
             if watchdog is not None and steps_this_run == next_early_sync \

@@ -27,12 +27,17 @@ from mrfp_tpu.train.state import TrainState, make_optimizer
 
 def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
                *, model, cfg: Config) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """One SGD step. images NHWC float32, labels NHW int32.
+    """One SGD step. images NHWC float32 or uint8, labels NHW int32 or uint8.
 
     Pure function of (state, batch): the per-step RNG is folded from
     state.base_key and state.step (core/rng.py), so the run is bitwise
     reproducible and restartable from a checkpointed step.
     """
+    # uint8 wire format (data/transforms.ToArray): integer batches cross
+    # host->device at 4x fewer bytes and are cast here, on device —
+    # uint8 -> f32 is exact, so the step is bit-identical to a f32 wire
+    images = images.astype(jnp.float32)
+    labels = labels.astype(jnp.int32)
     keys = step_keys(state.base_key, state.step)
     pc = cfg.perturb
 
@@ -147,7 +152,7 @@ def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
 def eval_step(params, batch_stats, images, *, model) -> jnp.ndarray:
     """Eval forward returning per-pixel argmax predictions (N,H,W) int32."""
     out = model.apply({"params": params, "batch_stats": batch_stats},
-                      images, train=False, mutable=False)
+                      images.astype(jnp.float32), train=False, mutable=False)
     return jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
 
 

@@ -29,6 +29,9 @@ def zoo_train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
                    aux_weight: float = 0.4,
                    dropout_seed: int = 17):
     """One step of the zoo training objective."""
+    # uint8 wire format: cast on device (see train/step.py)
+    images = images.astype(jnp.float32)
+    labels = labels.astype(jnp.int32)
 
     def loss_fn(params):
         rngs = {"dropout": jax.random.fold_in(
@@ -93,7 +96,8 @@ def covstat_pass(model, params, batch_stats, cov_layers,
     fwd = jax.jit(functools.partial(
         model.apply, train=False, mutable=False, cal_covstat=True))
     for a, b in view_pairs:
-        x = jnp.concatenate([a, b], axis=0)
+        # uint8 wire format: cast on device (see train/step.py)
+        x = jnp.concatenate([a, b], axis=0).astype(jnp.float32)
         out = fwd({"params": params, "batch_stats": batch_stats}, x)
         covstat_update(cov_layers, out["w_arr"])
     masks, nrc = [], []

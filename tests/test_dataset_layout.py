@@ -87,8 +87,11 @@ def roots(tmp_path_factory):
 
 def _check(sample, num_classes=19):
     img, lbl = sample["image"], sample["label"]
-    assert img.dtype == np.float32 and img.ndim == 3 and img.shape[-1] == 3
-    assert lbl.dtype == np.float32 and lbl.ndim == 2
+    # uint8 wire format (ToArray): PIL-backed pipelines stay uint8 on the
+    # host; float pipelines (e.g. post-FFT transforms) stay float32
+    assert img.dtype in (np.uint8, np.float32)
+    assert img.ndim == 3 and img.shape[-1] == 3
+    assert lbl.dtype in (np.uint8, np.int32, np.float32) and lbl.ndim == 2
     vals = np.unique(lbl.astype(np.int64))
     assert all(v == 255 or 0 <= v < num_classes for v in vals), vals
 

@@ -79,8 +79,10 @@ def test_flip_flips_both():
 
 def test_to_array_keeps_raw_scale():
     out = tr.ToArray()(_sample())
-    assert out["image"].dtype == np.float32
-    assert out["image"].max() > 1.5  # raw 0..255, NOT normalized
+    # uint8 wire format: PIL sources stay uint8 (raw 0..255, NOT
+    # normalized); the jitted steps cast to f32 on device, bit-exactly
+    assert out["image"].dtype == np.uint8
+    assert out["image"].max() > 1  # raw 0..255 scale
     assert out["image"].ndim == 3 and out["image"].shape[-1] == 3
 
 
