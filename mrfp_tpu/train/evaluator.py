@@ -48,6 +48,20 @@ def pad_to_bucket(img: np.ndarray, lbl: np.ndarray, bucket: int = 128,
     return pimg, plbl
 
 
+def _prefetch_put(pairs, size: int = 2):
+    """Device-put (image, label) pairs ``size`` ahead of consumption, with
+    the batch dim added host-side (an eager device-side reshape would cost
+    a dispatch). Transfers enqueue asynchronously, so the next image crosses
+    host->device while the current forward executes."""
+    buf = []
+    for img, lbl in pairs:
+        buf.append((jax.device_put(img[None]), jax.device_put(lbl[None])))
+        if len(buf) >= size:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)
+
+
 def merge_shard_hists(hist_np: np.ndarray, shard_count: int) -> np.ndarray:
     """Sum per-process partial confusion matrices.
 
@@ -187,23 +201,38 @@ class SegEvaluator:
             scored += real
             _sync_heartbeat()
 
-        for i in range(shard_rank, n, max(1, shard_count)):
-            sample = dataset[i]
-            # uint8 wire format (ToArray): integer samples ship as-is —
-            # 4x fewer host->device bytes — and the jitted step casts
-            img = np.asarray(sample["image"])
-            if img.dtype != np.uint8:
-                img = img.astype(np.float32)
-            lbl = np.asarray(sample["label"])
-            if lbl.dtype != np.uint8:
-                lbl = lbl.astype(np.int32)
-            if img.shape[:2] != lbl.shape:
-                if self.strict_pairs:
-                    dropped += 1  # reference: count + skip (main.py:910-911)
-                    continue
-                h = min(img.shape[0], lbl.shape[0])
-                w = min(img.shape[1], lbl.shape[1])
-                img, lbl = img[:h, :w], lbl[:h, :w]
+        def _host_samples():
+            nonlocal dropped
+            for i in range(shard_rank, n, max(1, shard_count)):
+                sample = dataset[i]
+                # uint8 wire format (ToArray): integer samples ship as-is —
+                # 4x fewer host->device bytes — and the jitted step casts
+                img = np.asarray(sample["image"])
+                if img.dtype != np.uint8:
+                    img = img.astype(np.float32)
+                lbl = np.asarray(sample["label"])
+                if lbl.dtype != np.uint8:
+                    lbl = lbl.astype(np.int32)
+                if img.shape[:2] != lbl.shape:
+                    if self.strict_pairs:
+                        dropped += 1  # reference: count+skip (main.py:910-911)
+                        continue
+                    h = min(img.shape[0], lbl.shape[0])
+                    w = min(img.shape[1], lbl.shape[1])
+                    img, lbl = img[:h, :w], lbl[:h, :w]
+                yield img, lbl
+
+        samples = _host_samples()
+        # double-buffer the single-image exact-shape sweep: device_put
+        # sample i+1 while the step on sample i executes, overlapping
+        # host->device transfer with compute (a full-res uint8 image is
+        # still ~6 MB; on thin links the wire IS the eval bottleneck).
+        # Grouped/bucketed paths stack host-side and meshed eval commits
+        # shardings in the jit, so only this path prefetches.
+        prefetched = self.bucket is None and eb == 1 and self.mesh is None
+        if prefetched:
+            samples = _prefetch_put(samples)
+        for img, lbl in samples:
             if self.bucket is None and eb > 1:
                 shapes_seen.add(lbl.shape)
                 pending.setdefault(lbl.shape, []).append((img, lbl))
@@ -211,7 +240,9 @@ class SegEvaluator:
                     _flush(pending.pop(lbl.shape))
             elif self.bucket is None:
                 # exact-shape protocol (reference main.py:896)
-                hist = self._step(variables, hist, img[None], lbl[None])
+                if not prefetched:
+                    img, lbl = img[None], lbl[None]
+                hist = self._step(variables, hist, img, lbl)
                 scored += 1
                 _sync_heartbeat()
             else:
