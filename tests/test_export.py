@@ -42,6 +42,35 @@ def test_export_roundtrip_bitexact(tmp_path):
                                   np.asarray(jax.jit(forward)(x)))
 
 
+def test_export_uint8_wire_matches_float32(tmp_path):
+    """A uint8-input export (cli.export --wire uint8, the default) must
+    produce bit-identical logits to the float32-fed forward: the in-graph
+    uint8 -> f32 cast is exact, only the ingress bytes shrink 4x."""
+    model = MRFP(trunk="resnet-18", variant="D32")
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def forward(image):
+        out = model.apply(variables, image.astype(jnp.float32),
+                          train=False, mutable=False)
+        return out["logits"].astype(jnp.float32)
+
+    from jax import export as jax_export
+    spec = jax.ShapeDtypeStruct((2, 64, 64, 3), jnp.uint8)
+    exported = jax_export.export(jax.jit(forward))(spec)
+    path = str(tmp_path / "u8.mrfpx")
+    save_exported(path, exported, {"format": "mrfpx-v1",
+                                   "input": {"dtype": "uint8"}})
+    fn, manifest = load_exported(path)
+    assert manifest["input"]["dtype"] == "uint8"
+
+    rng = np.random.default_rng(3)
+    xu = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(fn(xu)),
+        np.asarray(jax.jit(forward)(xu.astype(np.float32))))
+
+
 def test_export_rejects_bad_magic(tmp_path):
     path = str(tmp_path / "junk.mrfpx")
     with open(path, "wb") as f:
