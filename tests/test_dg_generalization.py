@@ -60,8 +60,23 @@ def _run(args, timeout=7200, platform="cpu"):
     return proc.stdout + proc.stderr
 
 
+# Zoo (RobustNet) arms: the ISW objective this validates is the zoo
+# subsystem's reason to exist (reference network/deepv3.py:561-568, the ISW
+# row of Table 1). 'zoo-plain' is the matched control: same DeepV3Plus
+# arch + DSN head, whitening plan off — so the measured margin isolates the
+# ISW whitening loss, not the arch change vs the MRFP baseline arm. The
+# training pipeline stays jitter-free like the MRFP arms (isolating the
+# model-level mechanism); ISW's covstat phase supplies its own photometric
+# view pairs (cli/train_zoo.py build_view_pairs fallback).
+ZOO_ARMS = {
+    "zoo-isw": ["--wt-layer", "0", "0", "2", "2", "2", "0", "0",
+                "--use-wtloss"],
+    "zoo-plain": ["--wt-layer", "0", "0", "0", "0", "0", "0", "0"],
+}
+
+
 def train_arm(src_tree, runs_dir, mode, steps, crop, lr="1e-2",
-              platform="cpu", seed=0):
+              platform="cpu", seed=0, trunk="resnet-18", variant="D32"):
     """Train one arm on the source tree; returns its checkpoint dir."""
     # TPU full-budget mode checkpoints every 25 steps: on 2026-08-19 the
     # axon tunnel wedged every ~10-100 executed steps for hours, and any
@@ -69,8 +84,12 @@ def train_arm(src_tree, runs_dir, mode, steps, crop, lr="1e-2",
     # across watchdog-restart cycles (each relaunch auto-resumes from the
     # last checkpoint). Orbax saves are async (~4% overhead at this rate).
     ckpt_every = 25 if platform is None else min(steps, 500)
-    args = ["mrfp_tpu.cli.train", "--source", "gtav", "--data-root", src_tree,
-            "--trunk", "resnet-18", "--variant", "D32", "--mode", mode,
+    if mode in ZOO_ARMS:
+        head = ["mrfp_tpu.cli.train_zoo"] + ZOO_ARMS[mode]
+    else:
+        head = ["mrfp_tpu.cli.train", "--mode", mode]
+    args = head + ["--source", "gtav", "--data-root", src_tree,
+            "--trunk", trunk, "--variant", variant,
             "--batch-size", "8", "--crop-size", str(crop),
             "--max-iter", str(steps), "--lr", lr, "--seed", str(seed),
             "--no-color-jitter", "--no-gaussian-blur",
@@ -103,22 +122,29 @@ def train_arm(src_tree, runs_dir, mode, steps, crop, lr="1e-2",
     return ckpts[0]
 
 
-def eval_arm(ckpt, tree, json_path, platform="cpu"):
+def eval_arm(ckpt, tree, json_path, platform="cpu", mode="baseline",
+             trunk="resnet-18", variant="D32"):
     """Zero-shot eval of a checkpoint on a DG tree's test split.
 
     An existing ``json_path`` is reused: the full-budget driver is rerun
     by a retry loop after every device wedge, and completed arms' evals
     must not be re-paid (minutes of TPU time each) on every relaunch."""
     if not os.path.exists(json_path):
-        _run(["mrfp_tpu.cli.eval", "--ckpt", ckpt, "--trunk", "resnet-18",
-              "--variant", "D32", "--domains", "gtav", "--data-root", tree,
-              "--json-out", json_path], platform=platform)
+        zoo = []
+        if mode in ZOO_ARMS:
+            # an explicit --wt-layer selects the zoo model/restore path in
+            # cli.eval (all-zero plans included)
+            zoo = [a for a in ZOO_ARMS[mode] if a != "--use-wtloss"]
+        _run(["mrfp_tpu.cli.eval", "--ckpt", ckpt, "--trunk", trunk,
+              "--variant", variant, "--domains", "gtav", "--data-root", tree,
+              "--json-out", json_path] + zoo, platform=platform)
     return json.load(open(json_path))["gtav"]
 
 
 def run_dg_experiment(workdir, steps, crop=96, block=32, hw=256,
                       n_train=64, n_val=8, platform="cpu",
-                      modes=("mrfp+", "baseline"), seed=0):
+                      modes=("mrfp+", "baseline"), seed=0,
+                      trunk="resnet-18", variant="D32"):
     src = build_dg_tree(os.path.join(workdir, "src"), "source",
                         n_train=n_train, n_val=n_val, hw=hw, block=block)
     tgt = build_dg_tree(os.path.join(workdir, "tgt"), "target",
@@ -127,14 +153,17 @@ def run_dg_experiment(workdir, steps, crop=96, block=32, hw=256,
     for mode in modes:
         tag = f"{mode}_s{seed}" if seed else mode
         ckpt = train_arm(src, os.path.join(workdir, f"runs_{tag}"),
-                         mode, steps, crop, platform=platform, seed=seed)
+                         mode, steps, crop, platform=platform, seed=seed,
+                         trunk=trunk, variant=variant)
         out[mode] = {
             "source": eval_arm(ckpt, src,
                                os.path.join(workdir, f"{tag}_src.json"),
-                               platform=platform),
+                               platform=platform, mode=mode,
+                               trunk=trunk, variant=variant),
             "target": eval_arm(ckpt, tgt,
                                os.path.join(workdir, f"{tag}_tgt.json"),
-                               platform=platform),
+                               platform=platform, mode=mode,
+                               trunk=trunk, variant=variant),
         }
     return out
 
@@ -231,22 +260,29 @@ def test_dg_protocol_transfers_across_style_shift(tmp_path):
 
 if __name__ == "__main__":
     # full-budget multi-seed run (TPU: inherits JAX_PLATFORMS from the env):
-    #   python test_dg_generalization.py <workdir> [steps] [seeds]
+    #   python test_dg_generalization.py <workdir> [steps] [seeds] [arms] \
+    #       [trunk] [variant]
+    # arms: comma list of mrfp+, baseline, zoo-isw, zoo-plain
     import tempfile
     workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
         prefix="dg_experiment_")
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     seeds = [int(s) for s in sys.argv[3].split(",")] if len(sys.argv) > 3 \
         else [0, 1, 2]
+    arms = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 \
+        else ("mrfp+", "baseline")
+    trunk = sys.argv[5] if len(sys.argv) > 5 else "resnet-18"
+    variant = sys.argv[6] if len(sys.argv) > 6 else "D32"
     res = {}
     for seed in seeds:
         res[seed] = run_dg_experiment(
             workdir, steps, crop=256, block=64, hw=256,
-            n_train=200, n_val=16, platform=None, seed=seed)
+            n_train=200, n_val=16, platform=None, seed=seed,
+            modes=arms, trunk=trunk, variant=variant)
         print(f"seed {seed}:", json.dumps(res[seed]), flush=True)
         with open(os.path.join(workdir, "summary.json"), "w") as f:
             json.dump(res, f, indent=1)
-    for mode in ("mrfp+", "baseline"):
+    for mode in arms:
         for dom in ("source", "target"):
             v = [res[s][mode][dom]["mean_iu"] for s in seeds]
             print(f"{mode:9s} {dom:7s} mIoU "
