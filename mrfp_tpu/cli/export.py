@@ -34,6 +34,19 @@ def parse_args():
                         "randomly initialized weights — smoke tests)")
     p.add_argument("--trunk", default="resnet-50")
     p.add_argument("--variant", default="D16")
+    p.add_argument("--arch", default=None,
+                   help="export a zoo (cli.train_zoo) checkpoint instead of "
+                        "MRFP: a reference factory name "
+                        "(network/deepv3.py:606-779), e.g. DeepR50V3PlusD")
+    p.add_argument("--wt-layer", type=int, nargs=7, default=None, metavar="W",
+                   help="whitening plan of the zoo checkpoint (must match "
+                        "training; selects the zoo model even without "
+                        "--arch). Whitening layers run frozen eval-mode "
+                        "statistics inside the artifact")
+    p.add_argument("--use-dsn", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="zoo checkpoints carry the DSN aux head by default "
+                        "(only the main logits are exported)")
     p.add_argument("--out", required=True, help="output .mrfpx path")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--height", type=int, default=1024)
@@ -85,9 +98,16 @@ def main():
     kwargs = {"platforms": args.platforms} if args.platforms else {}
     exported = jax_export.export(jax.jit(forward), **kwargs)(spec)
 
+    model_id = {"trunk": args.trunk, "variant": args.variant}
+    if args.arch or args.wt_layer:
+        model_id["family"] = "deepv3_zoo"
+        if args.arch:
+            model_id["arch"] = args.arch
+        model_id["wt_layer"] = list(args.wt_layer or (0,) * 7)
+        model_id["use_dsn"] = args.use_dsn
     manifest = {
         "format": "mrfpx-v1",
-        "model": {"trunk": args.trunk, "variant": args.variant},
+        "model": model_id,
         "input": {"shape": list(shape), "dtype": args.wire,
                   "layout": "NHWC", "pixel_scale": "raw 0..255"},
         "output": {"shape": list(exported.out_avals[0].shape),
@@ -97,8 +117,12 @@ def main():
         "ckpt": args.ckpt or "random-init",
     }
     save_exported(args.out, exported, manifest)
-    logging.info("wrote %s (%s, platforms=%s)", args.out, shape,
-                 manifest["platforms"])
+    # wire dtype is part of the artifact CONTRACT (the default changed to
+    # uint8 in round 4, MIGRATING.md) — say it out loud, not just in the
+    # manifest, so a re-export with unchanged flags can't silently change
+    # what callers must feed
+    logging.info("wrote %s (%s, wire=%s, platforms=%s)", args.out, shape,
+                 args.wire, manifest["platforms"])
 
     if args.check:
         fn, mf = load_exported(args.out)

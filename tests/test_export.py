@@ -71,6 +71,34 @@ def test_export_uint8_wire_matches_float32(tmp_path):
         np.asarray(jax.jit(forward)(xu.astype(np.float32))))
 
 
+def test_export_cli_zoo_whitening_arch(tmp_path):
+    """cli.export on a whitening-bearing DeepV3Plus zoo arch (--wt-layer
+    selects the zoo family; ISW slots 2/3/4): the --check round trip must
+    hold — whitening layers run their frozen eval-mode statistics inside
+    the artifact, and the manifest records the zoo identity. Closes the
+    round-4 gap 'zoo archs cannot be exported' (reference deploy path being
+    replaced: main.py:884-893)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # see parallel/dryrun.py
+    pp = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + (os.pathsep + pp if pp else "")
+    out = str(tmp_path / "zoo.mrfpx")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mrfp_tpu.cli.export", "--out", out,
+         "--trunk", "resnet-18", "--variant", "D32",
+         "--wt-layer", "0", "0", "2", "2", "2", "0", "0",
+         "--batch", "1", "--height", "64", "--width", "64",
+         "--dtype", "float32", "--check"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    fn, manifest = load_exported(out)
+    assert manifest["model"]["family"] == "deepv3_zoo"
+    assert manifest["model"]["wt_layer"] == [0, 0, 2, 2, 2, 0, 0]
+    # the artifact serves the MAIN logits only (19 classes at input res)
+    assert manifest["output"]["shape"] == [1, 64, 64, 19]
+
+
 def test_export_rejects_bad_magic(tmp_path):
     path = str(tmp_path / "junk.mrfpx")
     with open(path, "wb") as f:
