@@ -76,6 +76,15 @@ def parse_args():
                         "batch syncs within this window — a wedged device "
                         "execution otherwise hangs the sweep forever. "
                         "Default: 1800 s on TPU, off elsewhere; 0 disables")
+    p.add_argument("--parity", action="store_true",
+                   help="declare this run a reference-parity measurement: "
+                        "refuses any protocol deviation (--bucket, "
+                        "--eval-batch >1, --dtype bfloat16, "
+                        "--no-strict-pairs). The reference protocol "
+                        "(main.py:896) is exact shapes, one image per "
+                        "forward, float32 wire — deviations are faster but "
+                        "not bit-faithful (see --eval-batch/--bucket docs), "
+                        "and must never silently contaminate a parity table")
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="compute dtype. float32 (default) is the reference "
@@ -146,9 +155,29 @@ def load_model_and_params(args):
     return model, params, stats
 
 
+def check_parity_protocol(args):
+    """--parity: fail fast on any flag that breaks the reference protocol
+    (round-4 verdict: batched eval is not bitwise at TPU bf16 precision —
+    docs alone cannot keep it out of a future real-data parity number)."""
+    violations = []
+    if args.bucket is not None:
+        violations.append("--bucket (padded borders deviate ~0.04 mIoU)")
+    if args.eval_batch != 1:
+        violations.append("--eval-batch >1 (near-tie argmax flips on TPU)")
+    if args.dtype != "float32":
+        violations.append("--dtype bfloat16 (borderline argmaxes differ)")
+    if not args.strict_pairs:
+        violations.append("--no-strict-pairs (reference drops mismatches)")
+    if violations:
+        raise SystemExit("--parity refuses protocol deviations:\n  "
+                         + "\n  ".join(violations))
+
+
 def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO)
+    if args.parity:
+        check_parity_protocol(args)
     from mrfp_tpu.utils import (enable_persistent_compile_cache,
                                 enable_stack_dumps)
     enable_persistent_compile_cache()
