@@ -24,6 +24,29 @@ import numpy as np
 
 A100_PYTORCH_IMG_PER_SEC = 18.0  # estimated reference throughput (see docstring)
 
+# Measured (not spec) HBM bandwidth of this platform: 604 MB on-device
+# probes demonstrated 364 GB/s read+write (Pallas copy) and ~180-270 GB/s
+# read-only (CLAUDE.md round-2 "Measured platform bandwidth"). 360e9 is the
+# demonstrated-achievable rate the step's byte traffic is held against.
+MEASURED_HBM_BYTES_PER_S = 360e9
+
+
+def roofline_utilization(jtrain, args, step_time_s: float):
+    """Estimate-independent headline: measured step time as a fraction of
+    the HBM roofline for this exact compiled program — bytes accessed per
+    step (XLA cost model, the round-2 analysis measured ~149 GB) over the
+    demonstrated platform bandwidth. 1.0 = the step runs exactly at the
+    memory-bound floor; the A100 estimate plays no part."""
+    try:
+        cost = jtrain.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        bytes_per_step = float(cost["bytes accessed"])
+    except Exception:
+        return None, None
+    floor_s = bytes_per_step / MEASURED_HBM_BYTES_PER_S
+    return bytes_per_step, floor_s / step_time_s
+
 
 def main():
     # preflight BEFORE creating the in-process jax client: the axon execute
@@ -99,12 +122,20 @@ def main():
         watchdog.stop()
 
     img_per_sec_per_chip = batch * iters / dt / n_chips
-    print(json.dumps({
+    bytes_per_step, util = roofline_utilization(
+        jtrain, (state, images, labels), dt / iters)
+    out = {
         "metric": "mrfp_plus_r50_768_train_images_per_sec_per_chip",
         "value": round(img_per_sec_per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / A100_PYTORCH_IMG_PER_SEC, 3),
-    }))
+    }
+    if util is not None:
+        # fraction of the measured-bandwidth HBM floor achieved (see
+        # roofline_utilization) — stands without the A100 estimate
+        out["roofline_util"] = round(util, 3)
+        out["bytes_per_step_gb"] = round(bytes_per_step / 1e9, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
