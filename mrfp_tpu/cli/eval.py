@@ -76,6 +76,16 @@ def parse_args():
                         "batch syncs within this window — a wedged device "
                         "execution otherwise hangs the sweep forever. "
                         "Default: 1800 s on TPU, off elsewhere; 0 disables")
+    p.add_argument("--corrupt", choices=["fog", "rain"], default=None,
+                   help="apply a synthetic adverse-weather corruption to "
+                        "every eval image (data/weather.py) — the "
+                        "executable analog of the reference's pre-rendered "
+                        "Foggy/Rainy Cityscapes protocol (main.py:146-341, "
+                        "Table 2)")
+    p.add_argument("--severity", type=int, default=2,
+                   help="corruption severity 1..4 (with --corrupt); "
+                        "roughly tracks the rendered datasets' beta/density "
+                        "ladder")
     p.add_argument("--parity", action="store_true",
                    help="declare this run a reference-parity measurement: "
                         "refuses any protocol deviation (--bucket, "
@@ -168,6 +178,9 @@ def check_parity_protocol(args):
         violations.append("--dtype bfloat16 (borderline argmaxes differ)")
     if not args.strict_pairs:
         violations.append("--no-strict-pairs (reference drops mismatches)")
+    if args.corrupt:
+        violations.append("--corrupt (synthetic weather is not the "
+                          "reference's rendered-dataset protocol)")
     if violations:
         raise SystemExit("--parity refuses protocol deviations:\n  "
                          + "\n  ".join(violations))
@@ -222,6 +235,9 @@ def main():
             ds = DATASETS[domain](root=domain_root(args.data_root, domain),
                                   split=VAL_SPLITS[domain], train=False,
                                   eval_size=args.eval_size)
+        if args.corrupt:
+            from mrfp_tpu.data.weather import CorruptedDataset
+            ds = CorruptedDataset(ds, args.corrupt, args.severity)
         res = evaluator.run(ds, max_images=args.max_images,
                             heartbeat=watchdog.beat if watchdog else None)
         print(f"Number of images dropped: {res['dropped']}")
