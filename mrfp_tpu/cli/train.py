@@ -83,6 +83,20 @@ def parse_args():
     p.add_argument("--batch-weighting", action="store_true",
                    help="per-batch rare-class CE upweighting (reference "
                         "BATCH_WEIGHTING, config.py:56)")
+    p.add_argument("--jointwtborder", action="store_true",
+                   help="border-relaxed CE (reference config.py:121): any "
+                        "class within a (2*border+1)^2 window is acceptable "
+                        "near label borders; target built on device "
+                        "(train/losses.relaxed_cross_entropy)")
+    p.add_argument("--border-window", type=int, default=1,
+                   help="relaxation half-window (reference BORDER_WINDOW)")
+    p.add_argument("--reduce-border-iter", type=int, default=-1,
+                   help="after this iteration the window halves and "
+                        "boundary pixels weight 2 (reference "
+                        "REDUCE_BORDER_ITER); -1 = never")
+    p.add_argument("--strict-border-class", type=int, nargs="*", default=None,
+                   help="class ids that keep exact one-hot targets "
+                        "(reference STRICT_BORDER_CLASS)")
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--eval-every", type=int, default=0,
                    help="run validation every N iters; 0 = off. Feeds the "
@@ -143,7 +157,13 @@ def build_config(args):
                                  gaussian_blur=args.gaussian_blur,
                                  scale_range=tuple(args.scale_range),
                                  class_uniform_pct=args.class_uniform_pct,
-                                 batch_weighting=args.batch_weighting),
+                                 batch_weighting=args.batch_weighting,
+                                 jointwtborder=args.jointwtborder,
+                                 border_window=args.border_window,
+                                 reduce_border_iter=args.reduce_border_iter,
+                                 strict_border_class=(
+                                     tuple(args.strict_border_class)
+                                     if args.strict_border_class else None)),
         train=dataclasses.replace(cfg.train, max_iter=args.max_iter,
                                   lr=args.lr, seed=args.seed,
                                   accum_steps=args.accum_steps,

@@ -86,8 +86,15 @@ class DataConfig:
     # semantics follow the RobustNet harness it was inherited from:
     # ENet-style 1/ln(1.02+freq) weights from the batch label histogram).
     batch_weighting: bool = False
-    # Border-relaxation knobs (reference config.py:58-64, dead there; they
-    # parameterize RelaxedBoundaryLossToTensor in data.transforms).
+    # Border-relaxation knobs (reference config.py:58-64; dead there — its
+    # loss consumer was never vendored). Live here: ``jointwtborder``
+    # (config.py:121's arg name) switches the main CE to the border-relaxed
+    # objective (train/losses.relaxed_cross_entropy), with the multi-hot
+    # target built ON DEVICE from the int labels (keeps the uint8 wire;
+    # equivalence with RelaxedBoundaryLossToTensor pinned in
+    # tests/test_extras.py). The host transform remains for consumers that
+    # want precomputed targets.
+    jointwtborder: bool = False
     border_window: int = 1
     reduce_border_iter: int = -1
     reduce_border_epoch: int = -1

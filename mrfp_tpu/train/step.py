@@ -75,8 +75,21 @@ def train_step(state: TrainState, images: jnp.ndarray, labels: jnp.ndarray,
             {"params": params, "batch_stats": batch_stats},
             imgs, train=True, perturb=ptb, mutable=["batch_stats"],
             rngs={"dropout": dropout_key})
-        loss = cross_entropy(out["logits"], lbls, cfg.data.ignore_index,
-                             class_weights=cw)
+        if cfg.data.jointwtborder:
+            # border-relaxed CE (config.py:121): multi-hot target built on
+            # device; after reduce_border_iter the window halves and
+            # boundary pixels weight 2 — a traced bool, so the whole
+            # schedule is one compiled program
+            from mrfp_tpu.train.losses import relaxed_cross_entropy
+            reduce_now = (cfg.data.reduce_border_iter != -1) & \
+                (state.step > cfg.data.reduce_border_iter)
+            loss = relaxed_cross_entropy(
+                out["logits"], lbls, cfg.model.num_classes,
+                cfg.data.ignore_index, cfg.data.border_window, reduce_now,
+                cfg.data.strict_border_class)
+        else:
+            loss = cross_entropy(out["logits"], lbls, cfg.data.ignore_index,
+                                 class_weights=cw)
         if "dsn" in out:
             # DSN aux head: CE against nearest-downsampled labels, weight 0.4
             # (network/deepv3.py:570-577; zoo_step uses the same recipe)

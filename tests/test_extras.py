@@ -90,3 +90,56 @@ def test_mask_to_tensor():
     lbl = Image.fromarray(np.arange(16, dtype=np.uint8).reshape(4, 4))
     out = MaskToTensor()(lbl)
     assert out.dtype == np.int64 and out.shape == (4, 4)
+
+
+def test_relaxed_multihot_matches_host_transform():
+    """The device-side relaxed target (train/losses.relaxed_multihot, the
+    jointwtborder consumer) must reproduce RelaxedBoundaryLossToTensor
+    exactly — including the reduce-border window halving + boundary
+    weight 2, strict classes, and the ignore channel. Host encoding is
+    allowed(0/1) * weight(1/2) on every channel."""
+    import jax.numpy as jnp
+
+    from mrfp_tpu.train.losses import relaxed_multihot
+
+    rng = np.random.default_rng(5)
+    lbl = rng.integers(0, 19, (16, 16)).astype(np.uint8)
+    lbl[0, :3] = 255
+    for border, reduce_iter, cur, strict in (
+            (1, -1, 0, None), (2, -1, 0, None),
+            (2, 10, 20, None), (2, 10, 20, (3, 7)), (1, 10, 5, (0,))):
+        t = RelaxedBoundaryLossToTensor(
+            ignore_id=255, num_classes=19, border_window=border,
+            strict_classes=strict, reduce_border_iter=reduce_iter,
+            cur_iter=cur)
+        host = t(Image.fromarray(lbl))  # (C+1, H, W) in {0,1,2}
+        reduce_now = reduce_iter != -1 and cur > reduce_iter
+        allowed, weight = relaxed_multihot(
+            jnp.asarray(lbl.astype(np.int32)), 19, 255, border,
+            jnp.asarray(reduce_now), strict)
+        dev = np.moveaxis(np.asarray(allowed, np.uint8)
+                          * np.asarray(weight, np.uint8)[..., None], -1, 0)
+        np.testing.assert_array_equal(dev, host, err_msg=str(
+            (border, reduce_iter, cur, strict)))
+
+
+def test_relaxed_cross_entropy_semantics():
+    """border=0 reduces to plain CE; with a window, logits that put mass on
+    a neighboring class at the border are penalized less than under plain
+    CE (the objective's point)."""
+    import jax.numpy as jnp
+
+    from mrfp_tpu.train.losses import cross_entropy, relaxed_cross_entropy
+
+    rng = np.random.default_rng(0)
+    lbl = np.zeros((1, 8, 8), np.int32)
+    lbl[:, :, 4:] = 1
+    lbl[0, 0, 0] = 255
+    logits = jnp.asarray(rng.standard_normal((1, 8, 8, 19)), jnp.float32)
+    plain = cross_entropy(logits, jnp.asarray(lbl), 255)
+    r0 = relaxed_cross_entropy(logits, jnp.asarray(lbl), 19, 255,
+                               border=0, reduce_now=jnp.asarray(False))
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(plain), rtol=1e-6)
+    r1 = relaxed_cross_entropy(logits, jnp.asarray(lbl), 19, 255,
+                               border=1, reduce_now=jnp.asarray(False))
+    assert float(r1) < float(plain)  # relaxation can only lower the NLL
