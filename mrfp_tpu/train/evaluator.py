@@ -186,8 +186,8 @@ class SegEvaluator:
                 heartbeat()
                 synced_at = scored
 
-        def _flush(items):
-            nonlocal hist, scored, pad_total
+        def _put_group(items):
+            nonlocal pad_total
             real = len(items)
             pad_total += eb - real
             if real < eb:
@@ -195,11 +195,11 @@ class SegEvaluator:
                 # all-ignore dummies (one program per shape, exact hist)
                 pad = (np.zeros_like(items[0][0]), np.full_like(items[0][1], 255))
                 items = items + [pad] * (eb - real)
-            hist = self._step(variables, hist,
-                              np.stack([im for im, _ in items]),
-                              np.stack([lb for _, lb in items]))
-            scored += real
-            _sync_heartbeat()
+            # stack host-side and device_put eagerly: with a 2-deep buffer
+            # the next group's transfer overlaps the current forward, same
+            # double-buffering the single-image path gets from _prefetch_put
+            return (jax.device_put(np.stack([im for im, _ in items])),
+                    jax.device_put(np.stack([lb for _, lb in items])), real)
 
         def _host_samples():
             nonlocal dropped
@@ -232,31 +232,49 @@ class SegEvaluator:
         prefetched = self.bucket is None and eb == 1 and self.mesh is None
         if prefetched:
             samples = _prefetch_put(samples)
-        for img, lbl in samples:
-            if self.bucket is None and eb > 1:
-                shapes_seen.add(lbl.shape)
-                pending.setdefault(lbl.shape, []).append((img, lbl))
-                if len(pending[lbl.shape]) == eb:
-                    _flush(pending.pop(lbl.shape))
-            elif self.bucket is None:
-                # exact-shape protocol (reference main.py:896)
-                if not prefetched:
-                    img, lbl = img[None], lbl[None]
-                hist = self._step(variables, hist, img, lbl)
-                scored += 1
+        if self.bucket is None and eb > 1:
+            def _groups():
+                for img, lbl in samples:
+                    shapes_seen.add(lbl.shape)
+                    pending.setdefault(lbl.shape, []).append((img, lbl))
+                    if len(pending[lbl.shape]) == eb:
+                        yield pending.pop(lbl.shape)
+                for items in pending.values():  # final partial groups
+                    yield items
+
+            buf = []
+            for group in _groups():
+                buf.append(_put_group(group))
+                if len(buf) >= 2:
+                    image, label, real = buf.pop(0)
+                    hist = self._step(variables, hist, image, label)
+                    scored += real
+                    _sync_heartbeat()
+            while buf:
+                image, label, real = buf.pop(0)
+                hist = self._step(variables, hist, image, label)
+                scored += real
                 _sync_heartbeat()
-            else:
-                vh, vw = lbl.shape
-                img, lbl = pad_to_bucket(img, lbl, self.bucket)
-                hist = self._step_masked(
-                    variables, hist, img[None], lbl[None],
-                    jnp.asarray([vh, vw], jnp.int32))
-                scored += 1
-                _sync_heartbeat()
+        else:
+            for img, lbl in samples:
+                if self.bucket is None:
+                    # exact-shape protocol (reference main.py:896)
+                    if not prefetched:
+                        img, lbl = img[None], lbl[None]
+                    hist = self._step(variables, hist, img, lbl)
+                    scored += 1
+                    _sync_heartbeat()
+                else:
+                    vh, vw = lbl.shape
+                    img, lbl = pad_to_bucket(img, lbl, self.bucket)
+                    hist = self._step_masked(
+                        variables, hist, img[None], lbl[None],
+                        jnp.asarray([vh, vw], jnp.int32))
+                    scored += 1
+                    _sync_heartbeat()
         n_shapes = len(shapes_seen)
-        for items in pending.values():
-            _flush(items)
-        if eb > 1 and (n_shapes > 3 or pad_total * 2 > max(scored, 1)):
+        if eb > 1 and pad_total > 0 and (n_shapes > 3
+                                         or pad_total * 2 > max(scored, 1)):
             # mixed-shape domain (GTAV is the one such val domain): every
             # distinct shape compiles its own batch-eb program AND pads its
             # final partial group, so batching can be a net loss here
@@ -265,6 +283,12 @@ class SegEvaluator:
                 "%d padded dummy forwards for %d real images — consider "
                 "eval_batch=1 or bucket mode for this domain", eb, n_shapes,
                 pad_total, scored)
+        elif eb > 1 and n_shapes > 3:
+            # no padding waste (every shape's count divides eval_batch) but
+            # the compile bill is still per shape — say so explicitly
+            logging.getLogger(__name__).warning(
+                "eval_batch=%d over %d distinct shapes: one batch-%d "
+                "compile per shape (no padded forwards)", eb, n_shapes, eb)
         hist_np = np.asarray(jax.device_get(hist)).astype(np.int64)
         hist_np = merge_shard_hists(hist_np, shard_count)
         result = evaluate_hist(hist_np, dataset_name=getattr(dataset, "name", "?"),
@@ -295,7 +319,11 @@ class SlidingEvaluator(SegEvaluator):
         self._logits = jax.jit(self._logits_step)
 
     def _logits_step(self, variables, image):
-        out = self.model.apply(variables, image, train=False, mutable=False)
+        # uint8 wire format: tiles ship as integers and cast on device
+        # (exact; 4x fewer host->device bytes — the tunnel wire is the
+        # sliding sweep's bottleneck, same as the exact-shape path)
+        out = self.model.apply(variables, image.astype(jnp.float32),
+                               train=False, mutable=False)
         return out["logits"]
 
     def _predict_full(self, img: np.ndarray) -> np.ndarray:
@@ -319,7 +347,9 @@ class SlidingEvaluator(SegEvaluator):
         tb = self.tile_batch
         for lo in range(0, len(spans), tb):
             chunk = spans[lo:lo + tb]
-            batch = np.zeros((tb, cs, cs, img.shape[-1]), np.float32)
+            # keep the sample's wire dtype (uint8 stays uint8; the jitted
+            # step casts on device)
+            batch = np.zeros((tb, cs, cs, img.shape[-1]), img.dtype)
             for k, (sy2, sx2, ey, ex) in enumerate(chunk):
                 batch[k, :ey - sy2, :ex - sx2] = img[sy2:ey, sx2:ex]
             logits = np.asarray(self._logits(variables, batch))
@@ -336,7 +366,11 @@ class SlidingEvaluator(SegEvaluator):
         n = len(dataset) if max_images is None else min(len(dataset), max_images)
         for i in range(n):
             sample = dataset[i]
-            img = np.asarray(sample["image"], np.float32)
+            # uint8 wire format: integer samples ship as-is (the tile
+            # forward casts on device); float pipelines stay f32
+            img = np.asarray(sample["image"])
+            if img.dtype != np.uint8:
+                img = img.astype(np.float32)
             lbl = np.asarray(sample["label"], np.int32)
             if img.shape[:2] != lbl.shape:
                 dropped += 1
