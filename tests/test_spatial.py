@@ -35,7 +35,11 @@ def _one_loss(model, cfg, images, labels, mesh_cfg, n_dev):
     return float(metrics["loss"])
 
 
-@pytest.mark.parametrize("dp,sp", [(2, 2), (1, 4)])
+@pytest.mark.parametrize("dp,sp", [
+    pytest.param(2, 2, marks=pytest.mark.slow),  # 108 s; the pure-sp
+    # case below keeps halo-exchange coverage fast, and the driver's
+    # dryrun executes the dp-x-sp leg every round
+    (1, 4)])
 def test_spatial_train_step_loss_invariant(dp, sp):
     """dp x sp sharded full MRFP+ train step == 1-device loss.
 
@@ -131,7 +135,8 @@ def test_meshed_evaluator_composes_with_eval_batch():
     assert got["mean_iu"] == ref["mean_iu"]
 
 
-@pytest.mark.parametrize("dp,sp", [(2, 2)])
+@pytest.mark.parametrize("dp,sp", [
+    pytest.param(2, 2, marks=pytest.mark.slow)])  # 112 s heavy mesh
 def test_zoo_step_loss_invariant_under_mesh(dp, sp):
     """The RobustNet-zoo objective (CE + DSN aux + ISW whitening loss) under
     dp x sp sharding == 1-device loss: the DDP+SyncBatchNorm setup every

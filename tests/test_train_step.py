@@ -45,6 +45,9 @@ def test_train_step_runs_and_learns():
     assert preds.shape == (8, 32, 32) and preds.dtype == jnp.int32
 
 
+@pytest.mark.slow  # 122 s; the driver's dryrun_multichip asserts the
+# same device-count invariance (loss match across 1/8-dev meshes)
+# against every round's artifact — fast-suite coverage was redundant
 def test_device_count_invariance():
     """Same batch, same seed: 1-device and 8-device runs agree (the reference's
     per-batch perturbation semantics are device-count independent here)."""
@@ -150,6 +153,8 @@ def test_train_step_batch_weighting_runs():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow  # 152 s; guards an off-by-default experimental path
+# (fuse_bn_stats measured NEGATIVE, ops/pallas_dot_stats.py)
 def test_fuse_bn_stats_matches_unfused():
     """cfg.train.fuse_bn_stats routes bottleneck 1x1+BN pairs through the
     stats-emitting dot (ops/pallas_dot_stats.py; XLA-fallback on CPU but the
@@ -202,6 +207,9 @@ def test_donation_invalidates_old_state():
         np.asarray(leaf)  # donated buffer: any use must fail loudly
 
 
+@pytest.mark.slow  # 776 s — the single heaviest fast-suite item; the
+# driver runs this exact hook (8-CPU mesh, dp/dp-sp/dp-tp legs) every
+# round and records MULTICHIP_r{N}.json, so the inner loop can skip it
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     fn, args = ge.entry()

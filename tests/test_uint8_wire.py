@@ -9,6 +9,7 @@ bytes a first-class cost."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from PIL import Image
 
 from mrfp_tpu.core.config import Config
@@ -57,6 +58,8 @@ def test_collate_preserves_uint8():
     np.testing.assert_array_equal(b["image"].astype(np.float32), f["image"])
 
 
+@pytest.mark.slow  # 195 s full-step bitwise A/B; the evaluator-level
+# uint8 bitwise test (45 s) keeps wire regressions visible fast
 def test_train_step_uint8_wire_bitwise_equals_float32():
     """Full MRFP+ train step: a uint8 batch must produce the bit-identical
     loss and updated params of the float32 batch (the cast is in-graph and
