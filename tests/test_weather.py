@@ -96,7 +96,7 @@ if __name__ == "__main__":
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from test_dg_generalization import _run
+    from test_dg_generalization import ZOO_ARMS, _run
 
     work = sys.argv[1]
     arms = sys.argv[2].split(",") if len(sys.argv) > 2 \
@@ -122,12 +122,16 @@ if __name__ == "__main__":
                 for sev in (1, 2, 3, 4):
                     jp = os.path.join(wdir, f"{tag}_{kind}{sev}.json")
                     if not os.path.exists(jp):
+                        # zoo arms: an explicit --wt-layer selects the zoo
+                        # model/restore path in cli.eval (see eval_arm)
+                        zoo = [a for a in ZOO_ARMS.get(mode, [])
+                               if a != "--use-wtloss"]
                         _run(["mrfp_tpu.cli.eval", "--ckpt", ckpt,
                               "--trunk", trunk, "--variant", variant,
                               "--domains", "gtav",
                               "--data-root", os.path.join(work, "src"),
                               "--corrupt", kind, "--severity", str(sev),
-                              "--json-out", jp], platform=platform)
+                              "--json-out", jp] + zoo, platform=platform)
                     arm[f"{kind}{sev}"] = \
                         json.load(open(jp))["gtav"]["mean_iu"]
             res[tag] = arm
