@@ -128,3 +128,24 @@ def test_evaluator_uint8_wire_bitwise_equals_float32():
     got_k = SegEvaluator(model, params, stats, bucket=48).run(
         _WireDataset(np.uint8), log=quiet)
     assert got_k["hist"].sum() == ref["hist"].sum()
+
+
+def test_sliding_evaluator_uint8_wire_bitwise_equals_float32():
+    """SlidingEvaluator ships tiles on the uint8 wire too (round-4 advisor:
+    it used to force float32, 4x the host->device bytes): uint8 samples must
+    produce the bit-identical histogram to the f32 wire."""
+    from mrfp_tpu.train.evaluator import SlidingEvaluator
+
+    model = MRFP(trunk="resnet-18", variant="D32")
+    variables = jax.jit(
+        lambda k, x: model.init({"params": k}, x, train=False)
+    )(jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 3)))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    quiet = lambda *a, **k: None
+    kw = dict(crop_size=48, tile_batch=2)
+    ref = SlidingEvaluator(model, params, stats, **kw).run(
+        _WireDataset(np.float32), log=quiet)
+    got = SlidingEvaluator(model, params, stats, **kw).run(
+        _WireDataset(np.uint8), log=quiet)
+    np.testing.assert_array_equal(got["hist"], ref["hist"])
+    assert got["mean_iu"] == ref["mean_iu"]
