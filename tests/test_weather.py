@@ -84,6 +84,38 @@ def test_corrupted_dataset_wraps_labels_untouched():
         CorruptedDataset(DS(), "fog", 9)
 
 
+@pytest.mark.slow
+def test_eval_cli_corrupt_smoke(tmp_path):
+    """cli.eval --corrupt end-to-end (subprocess): the corrupted sweep must
+    run and produce a different histogram than the clean one at a severity
+    that visibly perturbs the input (round-3 lesson: every new CLI surface
+    gets a subprocess smoke test)."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # see parallel/dryrun.py
+    import os as _os
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    pp = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo + (_os.pathsep + pp if pp else "")
+    base = ["python", "-m", "mrfp_tpu.cli.eval", "--synthetic",
+            "--synthetic-hw", "64", "96", "--domains", "gtav",
+            "--trunk", "resnet-18", "--variant", "D32", "--max-images", "2"]
+    outs = {}
+    for tag, extra in (("clean", []),
+                       ("fog", ["--corrupt", "fog", "--severity", "4"])):
+        jp = str(tmp_path / f"{tag}.json")
+        proc = subprocess.run(
+            base + extra + ["--json-out", jp], env=env,
+            capture_output=True, text=True, timeout=900)
+        assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+        outs[tag] = json.load(open(jp))["gtav"]
+    assert outs["clean"] != outs["fog"], outs
+
+
 if __name__ == "__main__":
     # Severity sweep over DG-driver checkpoints (the Table 2 analog):
     #   python test_weather.py <dg_workdir> [arms] [seeds] [trunk] [variant]
