@@ -201,6 +201,13 @@ def main():
     if tpu_platform():
         wait_until_healthy()
         acquire_device_lock()
+    # armed BEFORE first device contact (load_model_and_params inits the
+    # jax client): a client-init hang in the tunnel's full-unavailable
+    # wedge mode exits 75 after the first-beat window instead of hanging
+    # the sweep until an outer timeout (see cli.train). The evaluator
+    # beats after every few synced images.
+    from mrfp_tpu.utils.watchdog import watchdog_from_arg
+    watchdog = watchdog_from_arg(args.step_timeout)
     model, params, stats = load_model_and_params(args)
 
     from mrfp_tpu.data.datasets import (DATASETS, VAL_SPLITS,
@@ -220,12 +227,6 @@ def main():
     if args.domains == ["all"]:
         args.domains = ["bdd100k", "cityscapes", "synthia", "mapillary",
                         "gtav"]
-    # wedged-device detection, same policy as the trainers: the evaluator
-    # beats after every few synced images, so a sweep that stops making
-    # device progress exits 75 (restartable) instead of hanging forever
-    from mrfp_tpu.utils.watchdog import watchdog_from_arg
-    watchdog = watchdog_from_arg(args.step_timeout)
-
     results = {}
     for domain in args.domains:
         if args.synthetic:

@@ -225,6 +225,14 @@ def main():
         wait_until_healthy()
         acquire_device_lock()
 
+    # Arm the watchdog BEFORE the first device contact: in the tunnel's
+    # full-unavailable wedge mode even client init (jax.devices) hangs
+    # forever at 0% CPU (CLAUDE.md 2026-08-19/21) — armed here, that hang
+    # costs first_beat_timeout instead of an outer subprocess timeout.
+    # Env-based policy only; safe pre-jax.
+    from mrfp_tpu.utils.watchdog import watchdog_from_arg
+    watchdog = watchdog_from_arg(args.step_timeout, args.first_beat_timeout)
+
     # multi-host bootstrap BEFORE any device query (main.py:42-52 equivalent)
     from mrfp_tpu.parallel.dist import initialize_distributed
     multiproc = initialize_distributed(args.coordinator_address,
@@ -288,9 +296,6 @@ def main():
     evaluator = SegEvaluator(model, None, None,
                              num_classes=cfg.model.num_classes) \
         if args.eval_every else None
-
-    from mrfp_tpu.utils.watchdog import watchdog_from_arg
-    watchdog = watchdog_from_arg(args.step_timeout, args.first_beat_timeout)
 
     def run_validation(state, step):
         ev = evaluator

@@ -191,6 +191,12 @@ def main():
         wait_until_healthy()
         acquire_device_lock()
 
+    # armed BEFORE first device contact — a client-init hang (tunnel
+    # full-unavailable wedge) exits 75 after first_beat_timeout instead of
+    # hanging until an outer subprocess timeout (see cli.train)
+    from mrfp_tpu.utils.watchdog import watchdog_from_arg
+    watchdog = watchdog_from_arg(args.step_timeout, args.first_beat_timeout)
+
     from mrfp_tpu.parallel.dist import initialize_distributed
     multiproc = initialize_distributed(args.coordinator_address,
                                        args.num_processes, args.process_id)
@@ -266,9 +272,6 @@ def main():
     evaluator = SegEvaluator(model, None, None,
                              num_classes=cfg.model.num_classes) \
         if args.eval_every else None
-
-    from mrfp_tpu.utils.watchdog import watchdog_from_arg
-    watchdog = watchdog_from_arg(args.step_timeout, args.first_beat_timeout)
 
     def run_validation(state, step):
         ev = evaluator
