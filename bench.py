@@ -24,19 +24,20 @@ import numpy as np
 
 A100_PYTORCH_IMG_PER_SEC = 18.0  # estimated reference throughput (see docstring)
 
-# Measured (not spec) HBM bandwidth of this platform: 604 MB on-device
-# probes demonstrated 364 GB/s read+write (Pallas copy) and ~180-270 GB/s
-# read-only (CLAUDE.md round-2 "Measured platform bandwidth"). 360e9 is the
-# demonstrated-achievable rate the step's byte traffic is held against.
-MEASURED_HBM_BYTES_PER_S = 360e9
+# Spec HBM bandwidth (v5e: 819 GB/s). The roofline denominator must be the
+# SPEC rate, not the 360 GB/s single-stream copy-probe rate (CLAUDE.md
+# round-2): XLA's fused conv pipelines overlap many streams and demonstrably
+# exceed the copy-probe number (a 360-based floor yields util > 1 — measured
+# 2026-08-21). Util vs spec is the conservative, estimate-independent claim.
+SPEC_HBM_BYTES_PER_S = 819e9
 
 
 def roofline_utilization(jtrain, args, step_time_s: float):
     """Estimate-independent headline: measured step time as a fraction of
-    the HBM roofline for this exact compiled program — bytes accessed per
-    step (XLA cost model, the round-2 analysis measured ~149 GB) over the
-    demonstrated platform bandwidth. 1.0 = the step runs exactly at the
-    memory-bound floor; the A100 estimate plays no part."""
+    the spec-HBM roofline for this exact compiled program — bytes accessed
+    per step (XLA cost model) over the chip's spec bandwidth. 1.0 = the
+    step runs exactly at the memory-bound floor; the A100 estimate plays
+    no part."""
     try:
         cost = jtrain.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -44,7 +45,7 @@ def roofline_utilization(jtrain, args, step_time_s: float):
         bytes_per_step = float(cost["bytes accessed"])
     except Exception:
         return None, None
-    floor_s = bytes_per_step / MEASURED_HBM_BYTES_PER_S
+    floor_s = bytes_per_step / SPEC_HBM_BYTES_PER_S
     return bytes_per_step, floor_s / step_time_s
 
 
@@ -131,7 +132,7 @@ def main():
         "vs_baseline": round(img_per_sec_per_chip / A100_PYTORCH_IMG_PER_SEC, 3),
     }
     if util is not None:
-        # fraction of the measured-bandwidth HBM floor achieved (see
+        # fraction of the spec-bandwidth HBM floor achieved (see
         # roofline_utilization) — stands without the A100 estimate
         out["roofline_util"] = round(util, 3)
         out["bytes_per_step_gb"] = round(bytes_per_step / 1e9, 1)
